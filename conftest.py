@@ -1,0 +1,17 @@
+"""Pytest root conftest.
+
+Forces JAX onto a virtual 8-device CPU platform BEFORE jax initializes, so
+multi-chip sharding logic (data/tensor parallel) is testable without TPU
+hardware. Bench and real-TPU runs do NOT import this.
+"""
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
