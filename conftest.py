@@ -1,17 +1,24 @@
 """Pytest root conftest.
 
-Forces JAX onto a virtual 8-device CPU platform BEFORE jax initializes, so
-multi-chip sharding logic (data/tensor parallel) is testable without TPU
-hardware. Bench and real-TPU runs do NOT import this.
+Forces JAX onto a virtual 8-device CPU platform so multi-chip sharding logic
+(data/tensor parallel) is testable without TPU hardware.
+
+Note: this environment preimports jax at interpreter startup (an axon
+sitecustomize registers the tunneled TPU backend), so plain env vars in
+conftest are too late — we override through jax.config before any backend is
+instantiated. Bench and real-TPU runs do NOT import this file.
 """
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402  (possibly already imported by sitecustomize)
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

@@ -107,6 +107,13 @@ class SDModelConfig:
     n_mels: int = 80
     dropout: float = 0.2
     embed_size: int = 128
+    tds_depths: Tuple[int, ...] = (2, 3, 6)
+    tds_kernel: int = 21
+
+    @property
+    def tds_channels(self) -> Tuple[int, ...]:
+        n = self.n_mels
+        return (n, 10 * n, 14 * n, 18 * n)
 
 
 @dataclass(frozen=True)

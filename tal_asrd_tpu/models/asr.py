@@ -1,0 +1,276 @@
+"""Joint ASR + speaker-diarization encoder-decoder model.
+
+TPU-native re-design of ASRModel (/root/reference/tal/asr/models.py:56-295):
+log-mel frontend -> TDS conv encoder (8x time reduction) -> linear projection
+to decoder width -> ReZero transformer decoder with cross-attention, factorized
+tied token embeddings (embed_size=64), vocabulary = text BPE + appended
+speaker tokens, and an optional speaker head (a second half-depth decoder over
+a separate encoder projection producing per-token speaker logits,
+models.py:130-146,249-289).
+
+Differences by design:
+  * the frontend + SpecAugment are fused XLA ops (tal_asrd_tpu.ops), not
+    torchaudio + Python loops;
+  * decode() returns (logits, per-layer cross-attention weights) explicitly;
+  * decode_step()/init_decode_state() provide KV-cached single-token decoding
+    for the beam/unaligned decoders (the reference re-decodes the full prefix
+    per generated token);
+  * compute dtype is bfloat16 (configurable), params float32.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tal_asrd_tpu.core.config import FrontendConfig, ModelConfig, SpecAugmentConfig
+from tal_asrd_tpu.models.decoder import PositionalEncoding, RZDecoder
+from tal_asrd_tpu.models.tds import TDS
+from tal_asrd_tpu.ops.logmel import log_mel_spectrogram
+from tal_asrd_tpu.ops.specaug import spec_augment
+
+
+def _embed_init(dim: int):
+    """Uniform(-1/sqrt(dim), 1/sqrt(dim)) — weight_init at tal/modules.py:6-21."""
+    bound = 1.0 / math.sqrt(dim)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def encoder_padding_mask(audio_lens: jax.Array, max_audio_len: int, enc_t: int) -> jax.Array:
+    """[B] sample lengths -> [B, enc_t] bool mask, True = padding.
+
+    Reproduces the reference's integer-division scaling
+    `scaled_lens = audio_lens // (audio_lens.max() // enc_T)`
+    (models.py:177-187) with the batch max replaced by the padded buffer
+    length — identical whenever the longest sample fills the buffer, and
+    well-defined under bucketed static shapes.
+    """
+    factor = max(max_audio_len // max(enc_t, 1), 1)
+    scaled = audio_lens // factor
+    pos = jnp.arange(enc_t)
+    return pos[None, :] >= scaled[:, None]
+
+
+class ASRModel(nn.Module):
+    cfg: ModelConfig
+    frontend: FrontendConfig = FrontendConfig()
+    specaug: SpecAugmentConfig = SpecAugmentConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        d = c.d_decoder
+        self.encoder = TDS(
+            input_size=c.n_mels,
+            sizes=c.tds_channels,
+            depths=c.tds_depths,
+            kernel=c.tds_kernel,
+            dropout=c.tds_dropout,
+            dtype=self.dtype,
+        )
+        self.decoder_proj = nn.Dense(d, dtype=self.dtype)
+        self.enc_drop = nn.Dropout(c.dropout)
+
+        embed_dim = c.embed_size if c.embed_size else d
+        self.embedding = nn.Embed(
+            c.num_tokens, embed_dim, embedding_init=_embed_init(embed_dim),
+            dtype=self.dtype,
+        )
+        if c.embed_size:
+            # Factorized-embedding projection, used forward (embed -> d) and
+            # transposed on the output head (models.py:220-221,243-244). An
+            # explicit kernel (not a Dense) because both directions share it.
+            self.embedding_proj_kernel = self.param(
+                "embedding_proj", nn.initializers.lecun_normal(), (embed_dim, d),
+                jnp.float32,
+            )
+        self.pos_dec = PositionalEncoding(d, c.max_positions, c.dropout, self.dtype)
+        self.decoder = RZDecoder(
+            n_layers=c.n_decoder_layers,
+            d_model=d,
+            n_head=c.n_head,
+            dim_feedforward=4 * d,
+            dropout=c.dropout,
+            dtype=self.dtype,
+        )
+        if c.use_speaker_head:
+            self.spk_enc_proj = nn.Dense(d, dtype=self.dtype)
+            self.spk_decoder = RZDecoder(
+                n_layers=c.n_decoder_layers // 2,
+                d_model=d,
+                n_head=c.n_head,
+                dim_feedforward=4 * d,
+                dropout=c.dropout,
+                dtype=self.dtype,
+            )
+            self.speaker_head_1 = nn.Dense(c.spk_embed, dtype=self.dtype)
+            self.speaker_head_2 = nn.Dense(c.num_speakers, dtype=self.dtype)
+
+    # ------------------------------------------------------------------
+    # Encoder side
+    # ------------------------------------------------------------------
+    def extract_features(self, audio: jax.Array, train: bool = False, use_specaug: bool = True):
+        """Raw audio [B, T] -> log-mel [B, F, n_mels] (models.py:154-162)."""
+        mel = log_mel_spectrogram(audio.astype(jnp.float32), self.frontend)
+        if train and use_specaug:
+            mel = spec_augment(self.make_rng("specaug"), mel, self.specaug)
+        return mel.astype(self.dtype)
+
+    def encode_features(
+        self, feats: jax.Array, audio_lens: Optional[jax.Array] = None,
+        max_audio_len: Optional[int] = None, train: bool = False,
+    ) -> Dict[str, Any]:
+        """Log-mel -> encoder memory dict (models.py:164-193)."""
+        h = self.encoder(feats, train=train)  # [B, S, C_enc]
+        spk_h = self.spk_enc_proj(h) if self.cfg.use_speaker_head else None
+        x = self.decoder_proj(h)
+
+        mask = None
+        if audio_lens is not None:
+            assert max_audio_len is not None
+            mask = encoder_padding_mask(audio_lens, max_audio_len, x.shape[1])
+        return {"encoder_out": x, "speaker_out": spk_h, "encoder_padding_mask": mask}
+
+    def encode(self, audio: jax.Array, audio_lens: Optional[jax.Array] = None,
+               train: bool = False) -> Dict[str, Any]:
+        feats = self.extract_features(audio, train=train)
+        return self.encode_features(feats, audio_lens, audio.shape[-1], train=train)
+
+    # ------------------------------------------------------------------
+    # Decoder side
+    # ------------------------------------------------------------------
+    def embed_tokens(self, y: jax.Array) -> jax.Array:
+        e = self.embedding(y)
+        if self.cfg.embed_size:
+            e = e @ self.embedding_proj_kernel.astype(self.dtype)
+        return e
+
+    def output_logits(self, h: jax.Array) -> jax.Array:
+        """Tied factorized head: h -> embed space -> vocab (models.py:243-246)."""
+        if self.cfg.embed_size:
+            h = h @ self.embedding_proj_kernel.astype(self.dtype).T
+        return self.embedding.attend(h)
+
+    def decode(
+        self,
+        y_prev: jax.Array,                # [B, L] token ids
+        encoder_out: Dict[str, Any],
+        causal: bool = True,
+        train: bool = False,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Teacher-forced / full-prefix decode.
+
+        Returns (logits [B, L, num_tokens], cross-attn weights [layers, B, L, S]).
+        The reference decodes with causal_mask=True in training and =False in
+        generation (system.py:113); `causal` selects between the two.
+        """
+        mem = self.enc_drop(encoder_out["encoder_out"], deterministic=not train)
+        y = self.embed_tokens(y_prev)
+        y = self.pos_dec(y, train=train)
+        h, attn, _ = self.decoder(
+            y,
+            mem,
+            causal=causal,
+            memory_key_padding_mask=encoder_out["encoder_padding_mask"],
+            train=train,
+        )
+        return self.output_logits(h), attn
+
+    def decode_spk(
+        self,
+        y_prev: jax.Array,
+        encoder_out: Dict[str, Any],
+        causal: bool = True,
+        train: bool = False,
+    ) -> jax.Array:
+        """Speaker head decode -> per-token speaker logits (models.py:249-289)."""
+        mem = self.enc_drop(encoder_out["speaker_out"], deterministic=not train)
+        y = self.embed_tokens(y_prev)
+        y = self.pos_dec(y, train=train)
+        h, _, _ = self.spk_decoder(
+            y,
+            mem,
+            causal=causal,
+            memory_key_padding_mask=encoder_out["encoder_padding_mask"],
+            train=train,
+        )
+        return self.speaker_head_2(self.speaker_head_1(h))
+
+    def __call__(self, audio: jax.Array, y_prev: jax.Array, audio_lens: jax.Array,
+                 train: bool = False):
+        """Full forward (models.py:291-295). Returns ((lm_logits, spk_logits),
+        encoder_out); lm path also returns attention in decode() for callers
+        that need it."""
+        encoder_out = self.encode(audio, audio_lens, train=train)
+        lm_logits, _ = self.decode(y_prev, encoder_out, causal=True, train=train)
+        spk_logits = (
+            self.decode_spk(y_prev, encoder_out, causal=True, train=train)
+            if self.cfg.use_speaker_head
+            else None
+        )
+        return (lm_logits, spk_logits), encoder_out
+
+    # ------------------------------------------------------------------
+    # KV-cached incremental decoding
+    # ------------------------------------------------------------------
+    def init_decode_state(self, encoder_out: Dict[str, Any], batch: int, max_len: int):
+        """Build decode state: per-layer cross-attn K/V (one-time) + empty
+        self-attn caches + step index."""
+        state = {
+            "mem_kvs": self.decoder.precompute_mem_kvs(encoder_out["encoder_out"]),
+            "caches": self.decoder.init_cache(batch, max_len),
+            "index": jnp.zeros((), jnp.int32),
+            "mask": encoder_out["encoder_padding_mask"],
+        }
+        if self.cfg.use_speaker_head:
+            state["spk_mem_kvs"] = self.spk_decoder.precompute_mem_kvs(
+                encoder_out["speaker_out"]
+            )
+            state["spk_caches"] = self.spk_decoder.init_cache(batch, max_len)
+        return state
+
+    def decode_step(self, y_tok: jax.Array, state: Dict[str, Any]):
+        """One decode step with KV caches.
+
+        y_tok: [B, 1] current input token. Returns (logits [B, num_tokens],
+        mean-layer cross-attn [B, S], new_state).
+        """
+        idx = state["index"]
+        y = self.embed_tokens(y_tok)
+        y = self.pos_dec(y, train=False, offset=idx)
+        h, attn, new_caches = self.decoder(
+            y,
+            None,
+            memory_key_padding_mask=state["mask"],
+            train=False,
+            caches=state["caches"],
+            cache_index=idx,
+            mem_kvs=state["mem_kvs"],
+        )
+        logits = self.output_logits(h)[:, -1]
+        new_state = dict(state, caches=new_caches, index=idx + 1)
+
+        spk_logits = None
+        if self.cfg.use_speaker_head:
+            hs, _, new_spk_caches = self.spk_decoder(
+                y,
+                None,
+                memory_key_padding_mask=state["mask"],
+                train=False,
+                caches=state["spk_caches"],
+                cache_index=idx,
+                mem_kvs=state["spk_mem_kvs"],
+            )
+            spk_logits = self.speaker_head_2(self.speaker_head_1(hs))[:, -1]
+            new_state["spk_caches"] = new_spk_caches
+
+        # attn: [layers, B, 1, S] -> mean over layers -> [B, S]
+        attn_mean = jnp.mean(attn[:, :, 0, :], axis=0)
+        return logits, spk_logits, attn_mean, new_state
