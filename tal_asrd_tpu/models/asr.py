@@ -258,7 +258,7 @@ class ASRModel(nn.Module):
         new_state = dict(state, caches=new_caches, index=idx + 1)
 
         spk_logits = None
-        if self.cfg.use_speaker_head:
+        if self.cfg.use_speaker_head and "spk_caches" in state:
             hs, _, new_spk_caches = self.spk_decoder(
                 y,
                 None,
@@ -274,3 +274,37 @@ class ASRModel(nn.Module):
         # attn: [layers, B, 1, S] -> mean over layers -> [B, S]
         attn_mean = jnp.mean(attn[:, :, 0, :], axis=0)
         return logits, spk_logits, attn_mean, new_state
+
+    # ------------------------------------------------------------------
+    # Window-based decoding helpers (unaligned long-form decoder)
+    # ------------------------------------------------------------------
+    def precompute_mem_kvs(self, memory: jax.Array):
+        """Cross-attention K/V for an encoder window (one-time per window)."""
+        return self.decoder.precompute_mem_kvs(memory)
+
+    def decode_prefill(
+        self,
+        y: jax.Array,                     # [B, P] history token buffer
+        mem_kvs,
+        mem_mask: Optional[jax.Array],    # [B, S] True = pad
+        cache_len: int,
+    ):
+        """Causal full decode of a history buffer that also fills the
+        self-attention KV caches (positions restart at 0 for the slice,
+        matching the reference's re-sliced model_input, system.py:338).
+
+        Returns (logits [B, P, V], mean-layer cross-attn [B, P, S], caches).
+        """
+        caches = self.decoder.init_cache(y.shape[0], cache_len)
+        e = self.embed_tokens(y)
+        e = self.pos_dec(e, train=False)
+        h, attn, caches = self.decoder(
+            e,
+            None,
+            memory_key_padding_mask=mem_mask,
+            train=False,
+            caches=caches,
+            cache_index=jnp.zeros((), jnp.int32),
+            mem_kvs=mem_kvs,
+        )
+        return self.output_logits(h), jnp.mean(attn, axis=0), caches
