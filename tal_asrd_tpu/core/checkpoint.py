@@ -1,0 +1,191 @@
+"""Checkpointing: full/partial/averaged, with the reference's surgical loads.
+
+Parity targets:
+  * per-epoch keep-all checkpoints (Lightning ModelCheckpoint(save_top_k=-1),
+    tal/asr/train.py:88-92) -> CheckpointManager;
+  * encoder-only partial load (train.py:53-59 filters `.encoder` keys);
+  * decoder load with embedding-row expansion for newly added speaker tokens
+    (train.py:69-79, tal/utils/expand_speakers.py:14-27);
+  * checkpoint weight averaging of the last k epochs
+    (tal/utils/average_weights.py:13-29 -> `avg_last_5.pt` used by the
+    transcriber, transcribe.py:217).
+
+Format: flax msgpack bytes per file + a tiny JSON manifest; pure pytrees, no
+framework-pickled objects, so files are portable across model code changes.
+"""
+from __future__ import annotations
+
+import json
+import math
+import os
+import re
+from typing import Any, Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+
+def save_pytree(path: str, tree: Any) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    host = jax.tree_util.tree_map(np.asarray, tree)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(host))
+
+
+def load_pytree(path: str, target: Any = None) -> Any:
+    with open(path, "rb") as f:
+        data = f.read()
+    if target is not None:
+        return serialization.from_bytes(target, data)
+    return serialization.msgpack_restore(data)
+
+
+# ---------------------------------------------------------------------------
+# Surgical loads
+# ---------------------------------------------------------------------------
+
+def filter_subtree(params: dict, prefix: str) -> dict:
+    """Extract the subtree under `prefix` (e.g. 'encoder'): the analog of
+    filtering '.encoder.'-prefixed state-dict keys (train.py:53-59)."""
+    node = params
+    for part in prefix.split("/"):
+        node = node[part]
+    return node
+
+
+def merge_subtree(params: dict, prefix: str, subtree: dict) -> dict:
+    """Return params with the subtree at `prefix` replaced (non-destructive)."""
+    def rec(node, parts):
+        node = dict(node)
+        if len(parts) == 1:
+            node[parts[0]] = subtree
+        else:
+            node[parts[0]] = rec(node[parts[0]], parts[1:])
+        return node
+
+    return rec(params, prefix.split("/"))
+
+
+def expand_speaker_embeddings(
+    embedding: np.ndarray,
+    new_num_tokens: int,
+    seed: int = 0,
+) -> np.ndarray:
+    """Grow an embedding table for newly appended speaker tokens.
+
+    New rows are initialized uniform(-1/sqrt(d), 1/sqrt(d)) like the original
+    init (tal/modules.py:18-20; expansion semantics of expand_speakers.py:18-25
+    and train.py:69-79)."""
+    old_n, d = embedding.shape
+    if new_num_tokens <= old_n:
+        return embedding[:new_num_tokens]
+    bound = 1.0 / math.sqrt(d)
+    rng = np.random.RandomState(seed)
+    extra = rng.uniform(-bound, bound, size=(new_num_tokens - old_n, d))
+    return np.concatenate([np.asarray(embedding), extra.astype(embedding.dtype)], 0)
+
+
+def load_params_partial(
+    target_params: dict,
+    ckpt_params: dict,
+    strict: bool = True,
+    expand_embeddings_to: Optional[int] = None,
+) -> dict:
+    """Load ckpt params into target structure.
+
+    - strict=False skips missing/mismatched leaves (--no-strict flag parity);
+    - expand_embeddings_to grows `embedding/embedding` rows for added
+      speaker tokens before shape checking.
+    """
+    flat_t = dict(jax.tree_util.tree_flatten_with_path(target_params)[0])
+
+    def path_str(p):
+        return "/".join(str(getattr(x, "key", x)) for x in p)
+
+    flat_c = {
+        path_str(p): v
+        for p, v in jax.tree_util.tree_flatten_with_path(ckpt_params)[0]
+    }
+
+    out = {}
+    for p, tv in flat_t.items():
+        ps = path_str(p)
+        cv = flat_c.get(ps)
+        if cv is not None and expand_embeddings_to and ps.endswith("embedding/embedding"):
+            cv = expand_speaker_embeddings(np.asarray(cv), expand_embeddings_to)
+        if cv is None or tuple(np.shape(cv)) != tuple(np.shape(tv)):
+            if strict and cv is None:
+                raise KeyError(f"Missing checkpoint param {ps}")
+            if strict and cv is not None:
+                raise ValueError(
+                    f"Shape mismatch at {ps}: ckpt {np.shape(cv)} vs target {np.shape(tv)}"
+                )
+            out[p] = tv
+        else:
+            out[p] = jnp.asarray(cv, jnp.asarray(tv).dtype)
+    treedef = jax.tree_util.tree_structure(target_params)
+    return jax.tree_util.tree_unflatten(
+        treedef, [out[p] for p, _ in jax.tree_util.tree_flatten_with_path(target_params)[0]]
+    )
+
+
+def average_params(param_trees: Sequence[Any]) -> Any:
+    """Mean of k parameter pytrees (average_weights.py:13-29 parity)."""
+    assert param_trees
+    return jax.tree_util.tree_map(
+        lambda *xs: sum(np.asarray(x, np.float64) for x in xs).astype(
+            np.asarray(xs[0]).dtype
+        ) / len(xs)
+        if not np.issubdtype(np.asarray(xs[0]).dtype, np.floating)
+        else (sum(np.asarray(x, np.float64) for x in xs) / len(xs)).astype(
+            np.asarray(xs[0]).dtype
+        ),
+        *param_trees,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Manager
+# ---------------------------------------------------------------------------
+
+class CheckpointManager:
+    """Keep-all epoch checkpoints + latest pointer + averaging."""
+
+    def __init__(self, directory: str):
+        self.dir = directory
+        os.makedirs(directory, exist_ok=True)
+
+    def _path(self, step: int) -> str:
+        return os.path.join(self.dir, f"ckpt_{step:08d}.msgpack")
+
+    def save(self, step: int, params: Any, extra: Optional[dict] = None) -> str:
+        path = self._path(step)
+        save_pytree(path, params)
+        manifest = {"step": step, "path": os.path.basename(path)}
+        if extra:
+            manifest.update(extra)
+        with open(os.path.join(self.dir, "latest.json"), "w") as f:
+            json.dump(manifest, f)
+        return path
+
+    def steps(self) -> List[int]:
+        out = []
+        for f in os.listdir(self.dir):
+            m = re.match(r"ckpt_(\d+)\.msgpack$", f)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def load(self, step: Optional[int] = None) -> Any:
+        if step is None:
+            steps = self.steps()
+            assert steps, f"No checkpoints in {self.dir}"
+            step = steps[-1]
+        return load_pytree(self._path(step))
+
+    def average_last(self, k: int) -> Any:
+        steps = self.steps()[-k:]
+        assert steps, "No checkpoints to average"
+        return average_params([self.load(s) for s in steps])

@@ -1,0 +1,123 @@
+"""Training loop.
+
+Replaces the Lightning Trainer wiring of tal/asr/train.py:87-108: per-epoch
+keep-all checkpoints, early stopping (patience 10 on val loss), validation
+cadence, a per-validation generation spot-check (system.py:578-623), and the
+smoke modes --quick-test (fast_dev_run: 1 batch of train+val) and
+--overfit-pct (train on a fraction, early stop disabled). Distribution is a
+mesh argument, not a process launcher: the jitted step is already sharded.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from tal_asrd_tpu.core.checkpoint import CheckpointManager
+from tal_asrd_tpu.utils.logging import MetricsLogger
+
+
+@dataclass
+class TrainerConfig:
+    max_epochs: int = 100
+    max_steps: Optional[int] = None
+    early_stop_patience: int = 10
+    val_check_interval: Optional[int] = None  # steps; None = per epoch
+    quick_test: bool = False
+    overfit_pct: float = 0.0
+    checkpoint_dir: str = "./checkpoints"
+    keep_all: bool = True
+    log_every: int = 50
+
+
+class Trainer:
+    def __init__(self, system, cfg: TrainerConfig, mesh=None,
+                 logger: Optional[MetricsLogger] = None,
+                 generation_hook: Optional[Callable] = None):
+        self.system = system
+        self.cfg = cfg
+        self.mesh = mesh
+        self.logger = logger or MetricsLogger(name="train", use_wandb=False)
+        self.generation_hook = generation_hook
+        self.ckpt = CheckpointManager(cfg.checkpoint_dir)
+
+    def fit(self, state, train_loader, val_loader, rng):
+        cfg = self.cfg
+        train_step = self.system.make_train_step(self.mesh)
+        eval_step = self.system.make_eval_step(self.mesh)
+
+        best_val = float("inf")
+        bad_epochs = 0
+        step = int(jax.device_get(state.step))
+        stop = False
+
+        n_batches = None
+        if cfg.quick_test:
+            n_batches = 1
+        elif cfg.overfit_pct > 0:
+            n_batches = max(1, int(len(train_loader) * cfg.overfit_pct))
+
+        for epoch in range(cfg.max_epochs):
+            if hasattr(train_loader, "sampler"):
+                train_loader.sampler.set_epoch(epoch)
+            t_epoch = time.time()
+            for bi, batch in enumerate(train_loader):
+                if n_batches is not None and bi >= n_batches:
+                    break
+                rng, step_rng = jax.random.split(rng)
+                t0 = time.time()
+                state, metrics = train_step(state, batch, step_rng)
+                step += 1
+                if step % cfg.log_every == 0 or cfg.quick_test:
+                    metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                    metrics["step_time_s"] = time.time() - t0
+                    metrics["epoch"] = epoch
+                    self.logger.log_metrics(metrics, step=step)
+                if cfg.max_steps is not None and step >= cfg.max_steps:
+                    stop = True
+                    break
+                if (cfg.val_check_interval and step % cfg.val_check_interval == 0):
+                    self._validate(state, val_loader, eval_step, step)
+            # epoch end: validate + checkpoint
+            val_loss = self._validate(state, val_loader, eval_step, step,
+                                      n_batches=n_batches)
+            if self.generation_hook is not None:
+                try:
+                    self.generation_hook(state, step, self.logger)
+                except Exception as e:  # spot check must never kill training
+                    print(f"[trainer] generation hook failed: {e}")
+            self.ckpt.save(step, jax.device_get(state.params),
+                           extra={"epoch": epoch, "val_loss": val_loss})
+            self.logger.log_metrics(
+                {"epoch_time_s": time.time() - t_epoch, "val_loss": val_loss},
+                step=step,
+            )
+
+            if cfg.overfit_pct == 0:  # early stopping disabled when overfitting
+                if val_loss < best_val - 1e-6:
+                    best_val = val_loss
+                    bad_epochs = 0
+                else:
+                    bad_epochs += 1
+                    if bad_epochs >= cfg.early_stop_patience:
+                        print(f"[trainer] early stop at epoch {epoch}")
+                        stop = True
+            if stop or cfg.quick_test:
+                break
+        return state
+
+    def _validate(self, state, val_loader, eval_step, step, n_batches=None):
+        losses = []
+        for bi, batch in enumerate(val_loader):
+            if n_batches is not None and bi >= n_batches:
+                break
+            m = eval_step(state, batch)
+            losses.append(float(jax.device_get(m["loss"])))
+            if self.cfg.quick_test and bi >= 0:
+                break
+        val = float(np.mean(losses)) if losses else float("nan")
+        self.logger.log_metrics({"val_loss_step": val}, step=step)
+        return val
