@@ -1,0 +1,140 @@
+"""VAD + transcriber tests: energy VAD separates loud speech-like bursts from
+silence; the collector state machine keeps contiguous regions with the
+reference's retro-inclusion; frame scoring matches hand-built confusions;
+splicing reproduces the difflib longest-match stitch; the windowed
+transcriber runs end-to-end on a tiny model.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tal_asrd_tpu.vad import (
+    VadConfig,
+    binarize,
+    collector_mask,
+    evaluate_vad,
+    get_speech_frames,
+    rasterize,
+    speech_bounds,
+    speech_decisions,
+)
+from tal_asrd_tpu.decode.transcribe import (
+    TranscribeConfig,
+    Transcriber,
+    splice_strings,
+)
+
+
+def synth_audio(sr=16000, speech_spans=((1.0, 3.0), (5.0, 7.0)), total=9.0,
+                seed=0):
+    rng = np.random.RandomState(seed)
+    x = rng.randn(int(total * sr)).astype(np.float32) * 0.001  # noise floor
+    for s, e in speech_spans:
+        seg = slice(int(s * sr), int(e * sr))
+        n = x[seg].shape[0]
+        t = np.arange(n) / sr
+        burst = (np.sin(2 * np.pi * 220 * t) + rng.randn(n) * 0.5) * 0.3
+        x[seg] += burst.astype(np.float32)
+    return x
+
+
+def test_speech_decisions_find_bursts():
+    x = synth_audio()
+    cfg = VadConfig()
+    dec = np.asarray(speech_decisions(jnp.asarray(x), cfg))
+    frame_s = cfg.frame_duration_ms / 1000
+    # Frames inside [1,3] and [5,7] mostly speech; outside mostly not
+    inside = dec[int(1.2 / frame_s) : int(2.8 / frame_s)]
+    outside = dec[int(3.5 / frame_s) : int(4.8 / frame_s)]
+    assert inside.mean() > 0.9
+    assert outside.mean() < 0.1
+
+
+def test_collector_bounds_cover_spans():
+    x = synth_audio()
+    bounds = speech_bounds(x, VadConfig())
+    # Two speech regions detected near the true spans
+    assert len(bounds) >= 1
+    covered = rasterize(bounds, 9.0)
+    gold = rasterize([(1.0, 3.0), (5.0, 7.0)], 9.0)
+    overlap = (covered & gold).sum() / gold.sum()
+    assert overlap > 0.85
+
+
+def test_get_speech_frames_compresses():
+    x = synth_audio()
+    speech = get_speech_frames(x)
+    assert 0 < len(speech) < len(x)
+    # roughly 4s speech of 9s total (plus padding ring buffers)
+    assert len(speech) / len(x) < 0.75
+
+
+def test_evaluate_vad_perfect_and_partial():
+    gold = [(1.0, 3.0)]
+    s = evaluate_vad(gold, gold, 5.0)
+    assert s.precision == 1.0 and s.recall == 1.0 and s.f1 == 1.0
+    s2 = evaluate_vad([(1.0, 2.0)], gold, 5.0)
+    assert s2.precision == 1.0 and abs(s2.recall - 0.5) < 1e-6
+
+
+def test_binarize_hysteresis():
+    scores = np.array([0.1, 0.9, 0.9, 0.4, 0.9, 0.1, 0.1])
+    # onset .52 / offset .3: stays active through the 0.4 dip
+    regions = binarize(scores, frame_s=1.0, onset=0.52, offset=0.3)
+    assert regions == [(1.0, 5.0)]
+    # offset .52: the dip deactivates
+    regions2 = binarize(scores, frame_s=1.0, onset=0.52, offset=0.52)
+    assert len(regions2) == 2
+
+
+def test_splice_strings_overlap():
+    a = "the quick brown fox jumps over the lazy dog"
+    b = "over the lazy dog and runs away fast"
+    out = splice_strings([a, b], word_overlap=6)
+    assert out.count("lazy dog") == 1
+    assert out.startswith("the quick brown fox")
+    assert out.endswith("runs away fast")
+
+
+def test_splice_strings_no_match_keeps_both():
+    out = splice_strings(["completely different words", "zzz qqq xxx"], 3)
+    assert "completely different words" in out
+    assert "zzz qqq xxx" in out
+
+
+def test_transcriber_end_to_end():
+    import jax
+    from tal_asrd_tpu.core.config import FrontendConfig, ModelConfig
+    from tal_asrd_tpu.models import ASRModel
+    from tests.synthetic_corpus import build_tokenizer
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        tok = build_tokenizer(td, vocab_size=120)
+    cfg = ModelConfig(
+        model_type="1x", num_speakers=3, n_mels=8, vocab_size=len(tok),
+        n_head=2, max_positions=64, dropout=0.0, embed_size=8,
+        tds_depths=(1, 1, 1), tds_kernel=5,
+    )
+    fe = FrontendConfig(n_mels=8, n_fft=64, win_length=64, hop_length=32)
+    model = ASRModel(cfg, fe)
+    audio0 = jnp.zeros((1, 16000), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, audio0,
+        jnp.zeros((1, 4), jnp.int32), jnp.array([16000]),
+    )
+    tc = TranscribeConfig(window_seconds=2.0, overlap=0.25, batch_size=4,
+                          beam_size=2, max_new_tokens=8, use_eot=False,
+                          splice=False)
+    tr = Transcriber(model, variables, tok, tc)
+    x = synth_audio(total=6.0)
+    texts = tr.transcribe_array(x)
+    assert isinstance(texts, list) and len(texts) >= 3
+    # splice mode returns a single string
+    tc2 = TranscribeConfig(window_seconds=2.0, overlap=0.25, batch_size=4,
+                           beam_size=2, max_new_tokens=8, use_eot=False,
+                           splice=True)
+    tr2 = Transcriber(model, variables, tok, tc2)
+    out = tr2.transcribe_array(x)
+    assert isinstance(out, str)
