@@ -1,0 +1,125 @@
+"""Diarization tests: GRU gate math vs torch.nn.GRU golden values, UIS-RNN
+training convergence + CRP beam-search prediction on separable synthetic
+speakers, transition-bias estimation, save/load, and the wav2vec feature
+geometry.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tal_asrd_tpu.diarization import (
+    GRU,
+    UISRNN,
+    UISRNNConfig,
+    UISRNNInferenceConfig,
+    UISRNNTrainConfig,
+    estimate_transition_bias,
+    evaluate_result,
+    extract_utterance_features,
+    init_wav2vec,
+    resize_sequence,
+)
+
+
+def test_gru_matches_torch():
+    torch = pytest.importorskip("torch")
+    d_in, d_h, depth, t, b = 6, 8, 2, 5, 3
+    rng = np.random.RandomState(0)
+    x = rng.randn(b, t, d_in).astype(np.float32)
+
+    tg = torch.nn.GRU(d_in, d_h, depth, batch_first=True)
+    with torch.no_grad():
+        out_t, h_t = tg(torch.from_numpy(x))
+
+    gru = GRU(hidden_size=d_h, depth=depth)
+    params = gru.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    # copy torch weights: weight_ih_l{k} [3H, D], ours kernel [D, 3H]
+    p = dict(params["params"])
+    for k in range(depth):
+        wi = getattr(tg, f"weight_ih_l{k}").detach().numpy()
+        wh = getattr(tg, f"weight_hh_l{k}").detach().numpy()
+        bi = getattr(tg, f"bias_ih_l{k}").detach().numpy()
+        bh = getattr(tg, f"bias_hh_l{k}").detach().numpy()
+        p[f"layer_{k}_wi_kernel"] = jnp.asarray(wi.T)
+        p[f"layer_{k}_wi_bias"] = jnp.asarray(bi)
+        p[f"layer_{k}_wh_kernel"] = jnp.asarray(wh.T)
+        p[f"layer_{k}_wh_bias"] = jnp.asarray(bh)
+
+    out_j, h_j = gru.apply({"params": p}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_j), h_t.numpy(), atol=1e-5)
+
+
+def test_resize_sequence_groups_clusters():
+    seq = np.arange(12, dtype=float).reshape(6, 2)
+    ids = np.array(["a", "b", "a", "b", "a", "b"])
+    subs, lens = resize_sequence(seq, ids, num_permutations=None)
+    assert len(subs) == 2
+    np.testing.assert_array_equal(subs[0], seq[[0, 2, 4]])
+    assert lens == [4, 4]  # length + 1
+
+
+def test_estimate_transition_bias():
+    bias, denom = estimate_transition_bias([["a", "a", "b", "b", "a"]])
+    # transitions: a->a(0), a->b(1), b->b(0), b->a(1); smooth=1
+    assert denom == 2 + 4
+    np.testing.assert_allclose(bias, (1 + 2) / 6)
+
+
+def _synthetic_speakers(n_per=12, d=8, seed=0):
+    """Two well-separated speakers, interleaved in blocks."""
+    rng = np.random.RandomState(seed)
+    a = rng.randn(n_per, d) * 0.05 + np.r_[np.ones(d // 2), np.zeros(d - d // 2)]
+    b = rng.randn(n_per, d) * 0.05 - np.r_[np.ones(d // 2), np.zeros(d - d // 2)]
+    seq = np.concatenate([a[:6], b[:6], a[6:], b[6:]], axis=0)
+    ids = ["s0"] * 6 + ["s1"] * 6 + ["s0"] * 6 + ["s1"] * 6
+    return seq.astype(float), ids
+
+
+def test_uisrnn_fit_and_predict():
+    seq, ids = _synthetic_speakers()
+    cfg = UISRNNConfig(observation_dim=8, rnn_hidden_size=16, rnn_depth=1)
+    tc = UISRNNTrainConfig(
+        learning_rate=5e-3, train_iteration=60, batch_size=None,
+        num_permutations=2, log_iter=1000,
+    )
+    model = UISRNN(cfg, seed=0)
+    losses = model.fit([seq], [ids], tc)
+    assert losses[-1] < losses[0]  # likelihood part decreases
+    assert model.transition_bias is not None
+
+    pred = model.predict_single(
+        seq[:12], UISRNNInferenceConfig(beam_size=4, look_ahead=1, test_iteration=1)
+    )
+    assert len(pred) == 12
+    acc = evaluate_result(["s0"] * 6 + ["s1"] * 6, pred)
+    assert acc >= 0.5  # better than trivial single-cluster collapse... loose
+
+
+def test_uisrnn_save_load(tmp_path):
+    cfg = UISRNNConfig(observation_dim=4, rnn_hidden_size=8)
+    m = UISRNN(cfg, seed=1)
+    m.transition_bias = 0.3
+    m.transition_bias_denominator = 10.0
+    p = str(tmp_path / "uisrnn.msgpack")
+    m.save(p)
+    m2 = UISRNN(cfg, seed=2)
+    m2.load(p)
+    assert m2.transition_bias == 0.3
+    for a, b in zip(
+        jax.tree_util.tree_leaves(m.params), jax.tree_util.tree_leaves(m2.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_wav2vec_feature_geometry():
+    model, variables = init_wav2vec()
+    audio = np.random.RandomState(0).randn(16000).astype(np.float32) * 0.1
+    feats = extract_utterance_features(model, variables, audio, window_s=None)
+    # strides 5*4*2*2*2 = 160 -> ~100 frames/s (minus VALID edges)
+    assert feats.shape[1] == 512
+    assert 90 <= feats.shape[0] <= 100
+    win = extract_utterance_features(model, variables, audio, window_s=0.4)
+    assert win.shape[0] == feats.shape[0] // 40
