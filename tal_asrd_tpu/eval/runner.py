@@ -1,0 +1,197 @@
+"""Test/evaluation runner: the reference test_step workflow as a library.
+
+Parity target: System.test_step + test_end (/root/reference/tal/asr/
+system.py:625-762):
+  * aligned mode: teacher-forced CE on unpadded positions + KV-cached beam
+    generation terminated on EOS, decode_speakers segmentation, speakerId
+    metadata per utterance;
+  * unaligned mode: full-episode sliding-window decode, attaching the
+    per-utterance attention/chunkStart/utteranceTokens slices consumed by the
+    WDER converter (system.py:696-707 index arithmetic mirrored exactly);
+  * outputs: accumulated test_result.pkl [(ref_utts, hyp_utts)], plus
+    hyp.txt / ref.txt ASR-only lines (system.py:721-735), and the mean test
+    CE loss (system.py:744-762).
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tal_asrd_tpu.core.config import DecodeConfig
+from tal_asrd_tpu.decode.beam import BeamSearchSpec, beam_search
+from tal_asrd_tpu.decode.unaligned import UnalignedSpec, unaligned_decode
+from tal_asrd_tpu.models.asr import ASRModel
+from tal_asrd_tpu.train.losses import masked_token_loss
+
+
+class EvalRunner:
+    def __init__(self, model: ASRModel, variables, tokenizer,
+                 decode_cfg: DecodeConfig = DecodeConfig(),
+                 out_dir: str = "out", spk_weight: float = 0.0):
+        self.model = model
+        self.variables = variables
+        self.tokenizer = tokenizer
+        self.cfg = decode_cfg
+        self.out_dir = out_dir
+        self.spk_weight = spk_weight
+        self.test_outputs: List = []
+        self._losses: List[float] = []
+        self._jit = {}
+        os.makedirs(out_dir, exist_ok=True)
+        # fresh output files (test.py:63-66 clears them)
+        for name in ("hyp.txt", "ref.txt"):
+            open(os.path.join(out_dir, name), "w").close()
+
+    # ------------------------------------------------------------------
+    def _teacher_forced_loss(self, batch) -> float:
+        cfg = self.model.cfg
+        y = jnp.asarray(batch["text"])
+        if cfg.num_speakers > 0 and self.spk_weight == 0:
+            y = jnp.minimum(y, cfg.vocab_size + cfg.num_speakers - 1)
+        (logits, _), _ = self.model.apply(
+            self.variables, jnp.asarray(batch["audio"]), y[:, :-1],
+            jnp.asarray(batch["audio_lens"]), train=False,
+        )
+        loss = masked_token_loss(
+            logits, y[:, 1:], jnp.asarray(batch["text_mask"])[:, 1:]
+        )
+        return float(loss)
+
+    def _generate_fn(self, shape, max_new):
+        key = (shape, max_new)
+        if key in self._jit:
+            return self._jit[key]
+        spec = BeamSearchSpec(
+            beam_size=self.cfg.beam_size,
+            max_new_tokens=max_new,
+            eos_id=self.tokenizer.eos_token_id,
+            vocab_size=self.model.cfg.num_tokens,
+            text_vocab_size=len(self.tokenizer),
+            collect_spk=self.model.cfg.use_speaker_head,
+            num_speakers=self.model.cfg.num_speakers,
+        )
+        model = self.model
+
+        @jax.jit
+        def run(variables, audio, lens, prime):
+            enc = model.apply(variables, audio, lens, False, method=ASRModel.encode)
+            return beam_search(model, variables, enc, prime, spec)
+
+        self._jit[key] = run
+        return run
+
+    # ------------------------------------------------------------------
+    def test_step_aligned(self, batch, ref_utts_per_sample: List[List[dict]]):
+        """One aligned test batch. ref_utts_per_sample: the original
+        utterance dicts for each sample (the reference's test_index hack,
+        system.py:714-716)."""
+        loss = self._teacher_forced_loss(batch)
+        self._losses.append(loss)
+
+        b, l = batch["text"].shape
+        max_new = int(l * 1.1) + 2
+        run = self._generate_fn(batch["audio"].shape, max_new)
+        prime = jnp.asarray(batch["text"][:, :1])
+        out = run(self.variables, jnp.asarray(batch["audio"]),
+                  jnp.asarray(batch["audio_lens"]), prime)
+
+        tokens = np.asarray(out["tokens"])
+        lengths = np.asarray(out["lengths"])
+        found = np.asarray(out["found"])
+        spk = np.asarray(out["spk"], np.float32) if "spk" in out else None
+
+        hyp_dec, ref_dec = [], []
+        for i in range(b):
+            if found[i] and lengths[i] > 1:
+                hyp = list(tokens[i, : lengths[i] - 1])  # drop final EOS token
+                utts, splits = self.tokenizer.decode_speakers(hyp)
+                entries = [
+                    {"utterance": text, "speakerId": sid} for text, sid in utts
+                ]
+                if spk is not None:
+                    # per-utterance speaker-logit track slices
+                    last = 0
+                    for e, s in zip(entries, splits):
+                        e["speakerLogits"] = spk[i, last : s + 1]
+                        last = s
+                hyp_dec.append(entries)
+            else:
+                hyp_dec.append([])
+            ref_dec.append(ref_utts_per_sample[i])
+
+        self._append_outputs(ref_dec, hyp_dec)
+        return {"loss": loss}
+
+    # ------------------------------------------------------------------
+    def test_step_unaligned(self, audio: np.ndarray, audio_len: int,
+                            ref_utts: List[dict],
+                            spec: Optional[UnalignedSpec] = None):
+        """One full episode (batch of 1, as upstream)."""
+        model = self.model
+        enc = model.apply(
+            self.variables, jnp.asarray(audio[None]),
+            jnp.asarray([audio_len]), False, method=ASRModel.encode,
+        )
+        enc_len = (
+            int((~np.asarray(enc["encoder_padding_mask"][0])).sum())
+            if enc["encoder_padding_mask"] is not None
+            else enc["encoder_out"].shape[1]
+        )
+        if spec is None:
+            spec = UnalignedSpec(
+                eos_id=self.tokenizer.eos_token_id,
+                chunk_size=self.cfg.chunk_size,
+                max_positions=model.cfg.max_positions,
+                thresh_prct=self.cfg.thresh_prct,
+                shift_prct=self.cfg.shift_prct,
+                stall_patience=self.cfg.stall_patience,
+                rep_n=self.cfg.rep_n,
+                skip_prct=self.cfg.skip_prct,
+            )
+        out = unaligned_decode(model, self.variables, enc,
+                               jnp.asarray(enc_len), spec)
+        n = int(out["num_tokens"])
+        gen = list(np.asarray(out["tokens"][0, :n]))
+        attn = np.asarray(out["align_attn"][: n - 1], np.float32)
+        chunks = np.asarray(out["align_chunk"][: n - 1])
+
+        hyp = gen[:-1]  # system.py:689 drops the final token
+        utts, splits = self.tokenizer.decode_speakers(hyp)
+        entries = []
+        last = 0
+        for (text, sid), split_i in zip(utts, splits):
+            e = {
+                "utterance": text,
+                "speakerId": sid,
+                "attention": attn[last : split_i + 1],
+                "chunkStart": chunks[last : split_i + 1],
+                "utteranceTokens": hyp[last : split_i + 1],
+            }
+            entries.append(e)
+            last = split_i
+        self._append_outputs([ref_utts], [entries])
+        self._losses.append(0.0)
+        return {"num_tokens": n, "num_utterances": len(entries)}
+
+    # ------------------------------------------------------------------
+    def _append_outputs(self, ref_dec, hyp_dec):
+        self.test_outputs += list(zip(ref_dec, hyp_dec))
+        with open(os.path.join(self.out_dir, "test_result.pkl"), "wb") as f:
+            pickle.dump(self.test_outputs, f)
+        with open(os.path.join(self.out_dir, "hyp.txt"), "a") as f:
+            for utts in hyp_dec:
+                f.write(" ".join(u["utterance"] for u in utts) + "\n")
+        with open(os.path.join(self.out_dir, "ref.txt"), "a") as f:
+            for utts in ref_dec:
+                f.write(" ".join(u["utterance"] for u in utts) + "\n")
+
+    def test_end(self) -> Dict[str, float]:
+        mean = float(np.mean(self._losses)) if self._losses else float("nan")
+        print("Loss", mean)
+        return {"test_loss": mean}
