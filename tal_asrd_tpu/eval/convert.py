@@ -89,16 +89,13 @@ def hyp_word_entries(
     sid = hyp.get("speakerId")
     role = (role_map or {}).get(sid, "subject")
 
-    # Group token indices into words: a word boundary appears when decoding
-    # the accumulated tokens yields a space.
-    groups: List[Tuple[int, int]] = []
-    last = 0
-    for i in range(1, len(u_tok)):
-        if " " in tokenizer.decode(u_tok[last:i]):
-            groups.append((last, i))
-            last = i
-    if last < len(u_tok):
-        groups.append((last, len(u_tok)))
+    # Group token indices into words: token i opens a new word when appending
+    # it to the running slice introduces a space (the reference's boundary
+    # scan, aligned_to_wder_format.py:91-100, corrected to fire on the token
+    # that starts the word rather than one later).
+    from tal_asrd_tpu.align.forced import token_word_groups
+
+    groups = token_word_groups(tokenizer, u_tok)
 
     out = []
     for a, b in groups:
