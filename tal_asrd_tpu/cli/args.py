@@ -1,0 +1,101 @@
+"""Shared CLI argument parsers, preserving the reference's flag surface
+(/root/reference/tal/asr/args.py:4-107) so existing invocations port over:
+--train-data/--valid-data/--test-data, --tokenizer, --model-type,
+--batch-size, --beam-size, --num-speakers, --spk-weight, --lm-weight,
+--smoothing, --shiftaug/--alignaug, --unaligned, --quick-test,
+--overfit-pct, --load/--load-encoder/--load-decoder, --no-strict, etc.
+"""
+from __future__ import annotations
+
+import argparse
+
+
+def get_argparser(is_train: bool = False) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    p.add_argument("--load", type=str, default=None)
+    p.add_argument("--load-encoder", type=str, default=None)
+    p.add_argument("--load-decoder", type=str, default=None)
+    p.add_argument("--train-data", type=str, action="append", required=True)
+    p.add_argument("--valid-data", type=str, action="append", required=True)
+    p.add_argument("--test-data", type=str, action="append")
+    p.add_argument("--cache-path", type=str, default="./cache")
+    p.add_argument("--tokenizer", type=str, required=True)
+    p.add_argument("--model-type", type=str, required=True, choices=["1x", "2x"])
+    p.add_argument("--max-epochs", type=int, default=100)
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--val-batch-size", type=int, default=None)
+    p.add_argument("--beam-size", type=int, default=5)
+    p.add_argument("--num-workers", type=int, default=4)
+    p.add_argument("--grad-acc", type=int, default=1)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--max-secs", type=float, default=20)
+    p.add_argument("--no-strict", action="store_true", default=False)
+    p.add_argument("--num-speakers", type=int, default=0)
+    p.add_argument("--quick-test", action="store_true", default=False)
+    p.add_argument("--unaligned", action="store_true", default=False)
+    p.add_argument("--shiftaug", action="store_true", default=False)
+    p.add_argument("--alignaug", action="store_true", default=False)
+    p.add_argument("--spk-weight", type=float, default=0)
+    p.add_argument("--val-check-interval", type=int, default=None)
+    p.add_argument("--lm-weight", type=float, default=0)
+    p.add_argument("--smoothing", type=float, default=0)
+    p.add_argument("--lm-path", type=str, default=None)
+    p.add_argument("--out-dir", type=str, default="out")
+    p.add_argument("--mesh-data", type=int, default=-1,
+                   help="data-parallel mesh axis size (-1: all devices)")
+    p.add_argument("--mesh-model", type=int, default=1,
+                   help="tensor-parallel mesh axis size")
+    if is_train:
+        p.add_argument("--name", type=str, required=True)
+        p.add_argument("--project", type=str, default="asr")
+        p.add_argument("--checkpoint-path", type=str, default="./models/tal-asrd-tpu")
+        p.add_argument("--overfit-pct", type=float, default=0)
+    return p
+
+
+def get_lm_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    p.add_argument("--train-data", type=str, required=True)
+    p.add_argument("--valid-data", type=str, required=True)
+    p.add_argument("--epoch-len", type=int, default=5000)
+    p.add_argument("--cache-path", type=str, default="./cache")
+    p.add_argument("--tokenizer", type=str, required=True)
+    p.add_argument("--max-epochs", type=int, default=100)
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--hidden-size", type=int, default=768)
+    p.add_argument("--layers", type=int, default=4)
+    p.add_argument("--attn-heads", type=int, default=4)
+    p.add_argument("--max-len", type=int, default=512)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--name", type=str, required=True)
+    p.add_argument("--checkpoint-path", type=str, default="./models/tal-asrd-tpu")
+    p.add_argument("--load", type=str, default=None)
+    p.add_argument("--quick-test", action="store_true", default=False)
+    return p
+
+
+def build_configs(args):
+    """argparse Namespace -> framework config dataclasses."""
+    from tal_asrd_tpu.core.config import DecodeConfig, ModelConfig, TrainConfig
+
+    model_cfg = ModelConfig(
+        model_type=args.model_type,
+        num_speakers=args.num_speakers,
+        use_speaker_head=args.spk_weight > 0,
+    )
+    train_cfg = TrainConfig(
+        batch_size=args.batch_size,
+        val_batch_size=args.val_batch_size,
+        lr=args.lr,
+        grad_acc=args.grad_acc,
+        max_steps=args.max_steps,
+        max_epochs=args.max_epochs,
+        smoothing=args.smoothing,
+        spk_weight=args.spk_weight,
+        lm_weight=args.lm_weight,
+        max_secs=args.max_secs,
+    )
+    decode_cfg = DecodeConfig(beam_size=args.beam_size)
+    return model_cfg, train_cfg, decode_cfg

@@ -1,0 +1,151 @@
+"""ASR training CLI.
+
+Usage parity with `python -m wildspeech.asr.train` (/root/reference/tal/asr/
+train.py:16-108): builds aligned (+ optional segment-augmentation) datasets,
+applies surgical partial loads (--load / --load-encoder / --load-decoder with
+speaker-token embedding expansion), and runs the mesh-sharded trainer with
+per-epoch checkpoints, early stopping (patience 10) and a per-validation
+generation spot check.
+
+    python -m tal_asrd_tpu.cli.train --train-data DIR --valid-data DIR \
+        --tokenizer bpe.model --model-type 2x --name run1 [--num-speakers N]
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tal_asrd_tpu.cli.args import build_configs, get_argparser
+from tal_asrd_tpu.core.checkpoint import (
+    filter_subtree,
+    load_params_partial,
+    load_pytree,
+    merge_subtree,
+)
+from tal_asrd_tpu.core.utils import count_parameters, set_seed
+from tal_asrd_tpu.data import (
+    AlignedDataset,
+    BucketedCollater,
+    DataLoader,
+    SegmentDataset,
+    ShardedSampler,
+)
+from tal_asrd_tpu.parallel.mesh import make_mesh
+from tal_asrd_tpu.text import BpeTokenizer
+from tal_asrd_tpu.train import ASRSystem
+from tal_asrd_tpu.train.loop import Trainer, TrainerConfig
+from tal_asrd_tpu.utils.logging import MetricsLogger
+
+
+class ConcatDataset:
+    def __init__(self, datasets):
+        self.datasets = datasets
+        self.offsets = np.cumsum([0] + [len(d) for d in datasets])
+
+    def __len__(self):
+        return int(self.offsets[-1])
+
+    def __getitem__(self, i):
+        di = int(np.searchsorted(self.offsets, i, side="right")) - 1
+        return self.datasets[di][i - int(self.offsets[di])]
+
+
+def build_datasets(args, tokenizer):
+    tokenizer_speakers = args.num_speakers > 0 and args.spk_weight == 0
+    train_parts = []
+    for p in args.train_data:
+        train_parts.append(AlignedDataset(
+            p, tokenizer, num_utterances=1, max_segment_duration=args.max_secs,
+            speaker_map_loc=os.path.join(p, "speaker_map.json"),
+            tokenizer_speakers=tokenizer_speakers, return_spk_ids=True,
+        ))
+        if args.shiftaug or args.alignaug:
+            train_parts.append(SegmentDataset(
+                p, tokenizer, segment_size=args.max_secs,
+                speaker_map_loc=os.path.join(p, "speaker_map.json"),
+                tokenizer_speakers=tokenizer_speakers,
+                aligned_truncation=args.alignaug,
+                return_spk_ids=not args.alignaug,
+            ))
+    valid_parts = [
+        AlignedDataset(
+            p, tokenizer, num_utterances=1, max_segment_duration=args.max_secs,
+            speaker_map_loc=os.path.join(p, "speaker_map.json"),
+            tokenizer_speakers=tokenizer_speakers, return_spk_ids=True,
+        )
+        for p in args.valid_data
+    ]
+    return ConcatDataset(train_parts), ConcatDataset(valid_parts)
+
+
+def main(argv=None):
+    args = get_argparser(is_train=True).parse_args(argv)
+    rng = set_seed(42)
+
+    tokenizer = BpeTokenizer(model_path=os.path.join(
+        args.cache_path, "tokenizer", args.tokenizer
+    ) if not os.path.exists(args.tokenizer) else args.tokenizer)
+
+    model_cfg, train_cfg, _ = build_configs(args)
+    mesh = make_mesh(args.mesh_data, args.mesh_model)
+    train_cfg = type(train_cfg)(**{
+        **train_cfg.__dict__, "num_data_shards": mesh.shape["data"],
+    })
+    system = ASRSystem(model_cfg, train_cfg)
+
+    train_ds, valid_ds = build_datasets(args, tokenizer)
+    coll = BucketedCollater(tokenizer.pad_token_id)
+    train_loader = DataLoader(
+        train_ds, args.batch_size, coll,
+        ShardedSampler(len(train_ds), shuffle=True), args.num_workers,
+    )
+    val_loader = DataLoader(
+        valid_ds, args.val_batch_size or args.batch_size, coll,
+        ShardedSampler(len(valid_ds), shuffle=False), args.num_workers,
+    )
+
+    batch0 = next(iter(val_loader))
+    state = system.init_state(rng, batch0)
+    print(f"Trainable params: {count_parameters(state.params):,}")
+
+    # Surgical loads (train.py:37-84 parity)
+    if args.load:
+        state = state.replace(params=load_params_partial(
+            state.params, load_pytree(args.load), strict=not args.no_strict
+        ))
+    if args.load_encoder:
+        donor = load_pytree(args.load_encoder)
+        enc = donor["encoder"] if "encoder" in donor else filter_subtree(donor, "encoder")
+        state = state.replace(params=merge_subtree(state.params, "encoder", enc))
+    if args.load_decoder:
+        donor = load_pytree(args.load_decoder)
+        state = state.replace(params=load_params_partial(
+            state.params, donor, strict=False,
+            expand_embeddings_to=model_cfg.num_tokens,
+        ))
+
+    state = system.shard_state(mesh, state)
+
+    logger = MetricsLogger(out_dir=args.out_dir, name=args.name,
+                           project=args.project, config=vars(args))
+    trainer = Trainer(
+        system,
+        TrainerConfig(
+            max_epochs=args.max_epochs,
+            max_steps=args.max_steps,
+            quick_test=args.quick_test,
+            overfit_pct=args.overfit_pct,
+            val_check_interval=args.val_check_interval,
+            checkpoint_dir=os.path.join(args.checkpoint_path, args.name),
+        ),
+        mesh=mesh,
+        logger=logger,
+    )
+    trainer.fit(state, train_loader, val_loader, rng)
+
+
+if __name__ == "__main__":
+    main()
