@@ -164,12 +164,15 @@ class ASRModel(nn.Module):
         encoder_out: Dict[str, Any],
         causal: bool = True,
         train: bool = False,
+        tgt_key_padding_mask: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, jax.Array]:
         """Teacher-forced / full-prefix decode.
 
         Returns (logits [B, L, num_tokens], cross-attn weights [layers, B, L, S]).
         The reference decodes with causal_mask=True in training and =False in
         generation (system.py:113); `causal` selects between the two.
+        tgt_key_padding_mask (True = ignore) lets non-causal fixed-buffer
+        decoding exclude padded future positions (decode/reference_mode.py).
         """
         mem = self.enc_drop(encoder_out["encoder_out"], deterministic=not train)
         y = self.embed_tokens(y_prev)
@@ -180,6 +183,7 @@ class ASRModel(nn.Module):
             causal=causal,
             memory_key_padding_mask=encoder_out["encoder_padding_mask"],
             train=train,
+            tgt_key_padding_mask=tgt_key_padding_mask,
         )
         return self.output_logits(h), attn
 

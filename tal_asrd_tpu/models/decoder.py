@@ -114,6 +114,7 @@ class SelfAttention(nn.Module):
         train: bool = False,
         cache: Optional[Dict[str, jax.Array]] = None,
         cache_index: Optional[jax.Array] = None,
+        key_padding_mask: Optional[jax.Array] = None,  # [B, T] True = ignore
     ):
         b, t, _ = x.shape
         h, dh = self.n_head, self.d_model // self.n_head
@@ -144,6 +145,9 @@ class SelfAttention(nn.Module):
                 bias = jnp.where(
                     i[None, None, :, None] >= i[None, None, None, :], 0.0, NEG_INF
                 )
+            if key_padding_mask is not None:
+                kp = jnp.where(key_padding_mask[:, None, None, :], NEG_INF, 0.0)
+                bias = kp if bias is None else bias + kp
             out, w = _attend(q, k, v, bias, self.dropout, train, rng, self.dtype)
 
         out = out.reshape(b, t, self.d_model)
@@ -221,13 +225,15 @@ class RZDecoderLayer(nn.Module):
         self_cache: Optional[Dict[str, jax.Array]] = None,
         cache_index: Optional[jax.Array] = None,
         mem_kv: Optional[Dict[str, jax.Array]] = None,
+        tgt_key_padding_mask: Optional[jax.Array] = None,
     ):
         rw = self.resweight.astype(self.dtype)
         rw_src = self.resweight_src.astype(self.dtype)
         det = not train
 
         sa, _, new_cache = self.self_attn(
-            tgt, causal=causal, train=train, cache=self_cache, cache_index=cache_index
+            tgt, causal=causal, train=train, cache=self_cache,
+            cache_index=cache_index, key_padding_mask=tgt_key_padding_mask,
         )
         tgt = tgt + self.drop(sa, deterministic=det) * rw
 
@@ -285,6 +291,7 @@ class RZDecoder(nn.Module):
         caches: Optional[Tuple[Dict[str, jax.Array], ...]] = None,
         cache_index: Optional[jax.Array] = None,
         mem_kvs: Optional[Tuple[Dict[str, jax.Array], ...]] = None,
+        tgt_key_padding_mask: Optional[jax.Array] = None,
     ):
         attn_all = []
         new_caches = []
@@ -298,6 +305,7 @@ class RZDecoder(nn.Module):
                 self_cache=None if caches is None else caches[li],
                 cache_index=cache_index,
                 mem_kv=None if mem_kvs is None else mem_kvs[li],
+                tgt_key_padding_mask=tgt_key_padding_mask,
             )
             attn_all.append(attn_w)
             new_caches.append(nc)
