@@ -31,6 +31,7 @@ class FrontendConfig:
     log_eps: float = 1e-6
     center: bool = True       # torch.stft default: reflect-pad n_fft//2
     mean_subtract: bool = True  # models.py:52 `mel -= mel.mean()`
+    use_pallas: bool = False  # fused mel-projection Pallas kernel (TPU only)
 
     @property
     def effective_f_max(self) -> float:

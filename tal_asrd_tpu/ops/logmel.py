@@ -119,8 +119,16 @@ def log_mel_spectrogram(
             cfg.n_fft // 2 + 1, cfg.f_min, cfg.effective_f_max, cfg.n_mels, cfg.sample_rate
         )
     )
-    mel = spec @ fb  # MXU matmul: [B, F, n_freqs] x [n_freqs, n_mels]
-    mel = jnp.log(mel + cfg.log_eps)
+    if cfg.use_pallas and jax.default_backend() == "tpu":
+        from tal_asrd_tpu.ops.pallas_kernels import fused_logmel_project
+
+        b, f, nf = spec.shape
+        mel = fused_logmel_project(
+            spec.reshape(b * f, nf), fb, eps=cfg.log_eps, interpret=False
+        ).reshape(b, f, cfg.n_mels)
+    else:
+        mel = spec @ fb  # MXU matmul: [B, F, n_freqs] x [n_freqs, n_mels]
+        mel = jnp.log(mel + cfg.log_eps)
     do_mean = cfg.mean_subtract if mean_subtract is None else mean_subtract
     if do_mean:
         mel = mel - jnp.mean(mel)
