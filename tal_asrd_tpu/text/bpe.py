@@ -16,8 +16,11 @@ This module provides the same capability natively:
 """
 from __future__ import annotations
 
+import ctypes
 import json
 import os
+import subprocess
+import threading
 from collections import Counter
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
@@ -25,6 +28,53 @@ from tal_asrd_tpu.text.tokenizer import Tokenizer
 
 WORD_BOUNDARY = "▁"  # same marker sentencepiece uses
 SPECIALS = ["<s>", "</s>", "<pad>", "<unk>"]
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "build", "libfastbpe.so")
+_lib = None
+_lib_lock = threading.Lock()
+
+
+def _load_native():
+    """Load (building on demand) the C++ merge engine; None on failure."""
+    global _lib
+    if os.environ.get("TAL_ASRD_NO_NATIVE"):
+        return None
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        src = os.path.join(_NATIVE_DIR, "fastbpe.cpp")
+        if not os.path.exists(_SO_PATH) and os.path.exists(src):
+            os.makedirs(os.path.dirname(_SO_PATH), exist_ok=True)
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-o", _SO_PATH, src],
+                    check=True, capture_output=True,
+                )
+            except Exception:
+                return None
+        if not os.path.exists(_SO_PATH):
+            return None
+        try:
+            lib = ctypes.CDLL(_SO_PATH)
+        except OSError:
+            return None
+        lib.load_merges.restype = ctypes.c_void_p
+        lib.load_merges.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+        ]
+        lib.encode_word.restype = ctypes.c_int64
+        lib.encode_word.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ]
+        lib.free_merges.restype = None
+        lib.free_merges.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
 
 
 def _pretokenize(text: str) -> List[str]:
@@ -44,6 +94,63 @@ class BpeModel:
         self.rank: Dict[Tuple[str, str], int] = {
             m: i for i, m in enumerate(self.merges)
         }
+        self._native_handle = None  # lazy C++ merge table (not pickled)
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_native_handle"] = None
+        return state
+
+    def _native(self):
+        """C++ merge engine handle, built lazily; None when unavailable."""
+        if self._native_handle is not None:
+            return self._native_handle
+        lib = _load_native()
+        if lib is None:
+            return None
+        import numpy as np
+
+        n = len(self.merges)
+        pairs = np.empty((n, 2), np.int32)
+        merged = np.empty((n,), np.int32)
+        for i, (a, b) in enumerate(self.merges):
+            pairs[i, 0] = self.piece_to_id[a]
+            pairs[i, 1] = self.piece_to_id[b]
+            merged[i] = self.piece_to_id[a + b]
+        handle = lib.load_merges(
+            pairs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            merged.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n,
+        )
+        self._native_handle = (lib, handle)
+        return self._native_handle
+
+    def encode_word_ids(self, word: str, unk_id: int) -> List[int]:
+        """Word -> final token ids, via the C++ engine when every character
+        is in-vocabulary (falls back to the Python path otherwise)."""
+        import numpy as np
+
+        native = self._native()
+        char_ids = [self.piece_to_id.get(ch) for ch in word]
+        if native is None or any(c is None for c in char_ids):
+            out: List[int] = []
+            for piece in self.encode_word(word):
+                pid = self.piece_to_id.get(piece)
+                if pid is None:
+                    out.extend(self.piece_to_id.get(ch, unk_id) for ch in piece)
+                else:
+                    out.append(pid)
+            return out
+        lib, handle = native
+        syms = np.asarray(char_ids, np.int32)
+        buf = np.empty(max(len(syms), 1), np.int32)
+        n = lib.encode_word(
+            handle,
+            syms.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(syms),
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(buf),
+        )
+        assert n >= 0
+        return buf[:n].tolist()
 
     def __len__(self) -> int:
         return len(SPECIALS) + len(self.pieces)
@@ -112,14 +219,7 @@ class BpeTokenizer(Tokenizer):
         unk = self.unk_token_id
         out: List[int] = []
         for word in _pretokenize(sentence):
-            for piece in self.model.encode_word(word):
-                pid = self.model.piece_to_id.get(piece)
-                if pid is None:
-                    # character coverage fallback: per-char lookup, else <unk>
-                    for ch in piece:
-                        out.append(self.model.piece_to_id.get(ch, unk))
-                else:
-                    out.append(pid)
+            out.extend(self.model.encode_word_ids(word, unk))
         return out
 
     def decode_pieces(self, ids: Sequence[int]) -> str:

@@ -101,6 +101,23 @@ def test_model_persistence_roundtrip(tmp_path):
     assert m2.merges == model.merges
 
 
+def test_native_encoder_matches_python(tok):
+    """C++ merge engine vs the pure-Python greedy merger."""
+    model = tok.model
+    if model._native() is None:
+        pytest.skip("native fastbpe unavailable")
+    for text in CORPUS[:5] + ["unknownish wordage Ω mid"]:
+        for word in ["▁" + w for w in text.split()]:
+            py_ids = []
+            for piece in model.encode_word(word):
+                pid = model.piece_to_id.get(piece)
+                if pid is None:
+                    py_ids.extend(model.piece_to_id.get(c, 3) for c in piece)
+                else:
+                    py_ids.append(pid)
+            assert model.encode_word_ids(word, 3) == py_ids, word
+
+
 def test_merges_actually_compress(tok):
     # BPE must merge frequent words into few pieces
     ids = tok.encode("the", bos_token=False, eos_token=False)
