@@ -34,7 +34,7 @@ from tal_asrd_tpu.models import ASRModel
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
     max_new = int(os.environ.get("BENCH_STEPS", "96"))
     beam = int(os.environ.get("BENCH_BEAM", "1"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))

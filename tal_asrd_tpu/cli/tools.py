@@ -51,6 +51,12 @@ def main(argv=None):
     m.add_argument("--inputs", nargs="+", required=True)
     m.add_argument("--out", required=True)
 
+    ls = sub.add_parser("librispeech-format",
+                        help="LibriSpeech layout -> transcript.pkl corpus")
+    ls.add_argument("--src", required=True,
+                    help="LibriSpeech split dir (speaker/chapter/*.flac|wav + .trans.txt)")
+    ls.add_argument("--out-dir", required=True)
+
     args = p.parse_args(argv)
 
     if args.cmd == "train-tokenizer":
@@ -118,6 +124,79 @@ def main(argv=None):
 
         rows = merge_outputs(args.inputs, args.out)
         print(f"merged {len(rows)} rows -> {args.out}")
+
+    elif args.cmd == "librispeech-format":
+        # LibriSpeech reformatting (data_scratch/librispeech_*.py capability):
+        # one "episode" per chapter; each utterance file becomes an utterance
+        # dict spanning its position in the concatenated chapter audio.
+        import pickle
+
+        import numpy as np
+
+        from tal_asrd_tpu.data.audio_io import (
+            DEFAULT_SR,
+            convert_audio,
+            get_duration,
+            load_audio_segment,
+            write_wav,
+        )
+
+        os.makedirs(args.out_dir, exist_ok=True)
+        transcripts = {}
+        speakers = {}
+        for spk_dir in sorted(os.listdir(args.src)):
+            spk_path = os.path.join(args.src, spk_dir)
+            if not os.path.isdir(spk_path):
+                continue
+            for chap_dir in sorted(os.listdir(spk_path)):
+                chap_path = os.path.join(spk_path, chap_dir)
+                trans = glob(os.path.join(chap_path, "*.trans.txt"))
+                if not trans:
+                    continue
+                lines = {}
+                with open(trans[0]) as f:
+                    for line in f:
+                        utt_id, _, text = line.strip().partition(" ")
+                        lines[utt_id] = text
+                stub = f"{spk_dir}-{chap_dir}"
+                chunks, utts, t = [], [], 0.0
+                for utt_id in sorted(lines):
+                    for ext in (".wav", ".flac"):
+                        ap = os.path.join(chap_path, utt_id + ext)
+                        if os.path.exists(ap):
+                            break
+                    else:
+                        continue
+                    if ap.endswith(".flac"):
+                        tmp = os.path.join(args.out_dir, utt_id + ".tmp.wav")
+                        convert_audio(ap, tmp)
+                        ap = tmp
+                    x = load_audio_segment(ap, 0.0, None)
+                    dur = len(x) / DEFAULT_SR
+                    utts.append({
+                        "utterance": lines[utt_id].lower(),
+                        "speaker": spk_dir,
+                        "utterance_start": t,
+                        "utterance_end": t + dur,
+                        "role": "subject",
+                    })
+                    chunks.append(x)
+                    t += dur
+                    if ap.endswith(".tmp.wav"):
+                        os.remove(ap)
+                if not chunks:
+                    continue
+                write_wav(os.path.join(args.out_dir, stub + ".wav"),
+                          np.concatenate(chunks))
+                transcripts[stub] = utts
+                speakers.setdefault(spk_dir.lower(), len(speakers))
+        with open(os.path.join(args.out_dir, "transcript.pkl"), "wb") as f:
+            pickle.dump(transcripts, f)
+        import json
+
+        with open(os.path.join(args.out_dir, "speaker_map.json"), "w") as f:
+            json.dump(speakers, f)
+        print(f"wrote {len(transcripts)} episodes to {args.out_dir}")
 
 
 if __name__ == "__main__":

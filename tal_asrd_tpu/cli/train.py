@@ -143,6 +143,7 @@ def main(argv=None):
         ),
         mesh=mesh,
         logger=logger,
+        generation_hook=system.make_generation_spotcheck(tokenizer, batch0),
     )
     trainer.fit(state, train_loader, val_loader, rng)
 

@@ -209,6 +209,55 @@ class ASRSystem:
         return jax.jit(self._eval_step)
 
     # ------------------------------------------------------------------
+    def make_generation_spotcheck(self, tokenizer, batch: Dict[str, Any],
+                                  max_len: Optional[int] = None):
+        """Validation-time generation spot check (system.py:578-623 parity):
+        greedily decode the first sample of `batch`, print GOLD vs GENERATED,
+        and log through the metrics logger. Returns a Trainer generation_hook.
+        """
+        from tal_asrd_tpu.decode.beam import BeamSearchSpec, beam_search
+
+        model = self.model
+        cfg = self.cfg
+        one = jax.tree_util.tree_map(lambda x: x[:1], batch)
+        tgt_len = int(batch["text"].shape[1])
+        spec = BeamSearchSpec(
+            beam_size=1,
+            max_new_tokens=max_len or int(tgt_len * 1.5),
+            eos_id=tokenizer.eos_token_id,
+            vocab_size=cfg.num_tokens,
+            text_vocab_size=len(tokenizer),
+            force_output=True,
+        )
+
+        @jax.jit
+        def gen(variables, audio, lens, prime):
+            enc = model.apply(variables, audio, lens, False,
+                              method=type(model).encode)
+            return beam_search(model, variables, enc, prime, spec)
+
+        def hook(state, step, logger):
+            import numpy as np
+
+            out = gen({"params": state.params},
+                      jnp.asarray(one["audio"]), jnp.asarray(one["audio_lens"]),
+                      jnp.asarray(one["text"][:, :1]))
+            n = int(np.asarray(out["lengths"])[0])
+            hyp_ids = [int(t) for t in np.asarray(out["tokens"])[0, :n]
+                       if t < len(tokenizer)]
+            tgt_n = int(np.asarray(one["text_mask"][0]).sum())
+            ref_ids = [int(t) for t in np.asarray(one["text"])[0, : tgt_n - 1]
+                       if t < len(tokenizer)]
+            logger.log_generation(
+                np.asarray(one["audio"][0]),
+                tokenizer.decode(ref_ids),
+                tokenizer.decode(hyp_ids),
+                step=step,
+            )
+
+        return hook
+
+    # ------------------------------------------------------------------
     def shard_state(self, mesh, state: TrainState) -> TrainState:
         """Place a host TrainState onto the mesh: params/opt_state follow the
         TP rules (replicated over 'data'), step replicated."""
