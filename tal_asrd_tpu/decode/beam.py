@@ -188,29 +188,31 @@ def beam_search(
         best_beam = idx // spec.vocab_size                        # [B, K]
         flat_beams = (best_beam + batch_offset).reshape(-1)       # [BK]
 
-        # Reorder rows + caches by source beam; append the new token.
-        tokens = _gather_beams(c["tokens"], flat_beams)
+        # Reorder rows + caches by source beam; with beam_size == 1 the
+        # gather is the identity — skipping it saves ~2 full KV-cache copies
+        # of HBM traffic per greedy step.
+        def reorder(x):
+            return x if k == 1 else _gather_beams(x, flat_beams)
+
+        tokens = reorder(c["tokens"])
         write_pos = p + step
         tokens = jax.lax.dynamic_update_slice(
             tokens, best_tok.reshape(-1, 1), (0, write_pos)
         )
         state = dict(c["state"])
-        state["caches"] = jax.tree_util.tree_map(
-            lambda x: _gather_beams(x, flat_beams), c["state"]["caches"]
-        )
-        if "spk_caches" in state:
-            state["spk_caches"] = jax.tree_util.tree_map(
-                lambda x: _gather_beams(x, flat_beams), c["state"]["spk_caches"]
-            )
+        if k > 1:
+            state["caches"] = jax.tree_util.tree_map(reorder, c["state"]["caches"])
+            if "spk_caches" in state:
+                state["spk_caches"] = jax.tree_util.tree_map(
+                    reorder, c["state"]["spk_caches"]
+                )
         lm_caches = c["lm_caches"]
-        if use_lm:
-            lm_caches = jax.tree_util.tree_map(
-                lambda x: _gather_beams(x, flat_beams), lm_caches
-            )
+        if use_lm and k > 1:
+            lm_caches = jax.tree_util.tree_map(reorder, lm_caches)
 
         spk_track = c["spk_track"]
         if spec.collect_spk:
-            spk_track = _gather_beams(spk_track, flat_beams)
+            spk_track = reorder(spk_track)
             spk_track = jax.lax.dynamic_update_slice(
                 spk_track,
                 c["spk_logits"].astype(jnp.bfloat16)[:, None, :],
