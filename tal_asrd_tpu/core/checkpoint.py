@@ -189,3 +189,34 @@ class CheckpointManager:
         steps = self.steps()[-k:]
         assert steps, "No checkpoints to average"
         return average_params([self.load(s) for s in steps])
+
+    # -- full training-state checkpoints (params + optimizer + step) -----
+    def _state_path(self, step: int) -> str:
+        return os.path.join(self.dir, f"state_{step:08d}.msgpack")
+
+    def save_state(self, step: int, state_tree: Any) -> str:
+        """Save a full TrainState pytree for exact resume (the reference can
+        only resume params via Lightning checkpoints; optimizer moments are
+        first-class here)."""
+        path = self._state_path(step)
+        save_pytree(path, state_tree)
+        return path
+
+    def state_steps(self) -> List[int]:
+        out = []
+        for f in os.listdir(self.dir):
+            m = re.match(r"state_(\d+)\.msgpack$", f)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def load_state(self, target: Any, step: Optional[int] = None) -> Any:
+        """Restore into a template TrainState pytree (shapes/dtypes source)."""
+        steps = self.state_steps()
+        assert steps, f"No state checkpoints in {self.dir}"
+        step = steps[-1] if step is None else step
+        return load_pytree(self._state_path(step), target=target)
+
+    def latest_state_step(self) -> Optional[int]:
+        steps = self.state_steps()
+        return steps[-1] if steps else None

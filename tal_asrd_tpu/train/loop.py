@@ -44,10 +44,18 @@ class Trainer:
         self.generation_hook = generation_hook
         self.ckpt = CheckpointManager(cfg.checkpoint_dir)
 
-    def fit(self, state, train_loader, val_loader, rng):
+    def fit(self, state, train_loader, val_loader, rng, resume: bool = False):
         cfg = self.cfg
         train_step = self.system.make_train_step(self.mesh)
         eval_step = self.system.make_eval_step(self.mesh)
+
+        if resume and self.ckpt.latest_state_step() is not None:
+            template = jax.device_get(state)
+            state = self.ckpt.load_state(template)
+            print(f"[trainer] resumed full state at step "
+                  f"{int(jax.device_get(state.step))}")
+            if self.mesh is not None:
+                state = self.system.shard_state(self.mesh, state)
 
         best_val = float("inf")
         bad_epochs = 0
@@ -91,6 +99,7 @@ class Trainer:
                     print(f"[trainer] generation hook failed: {e}")
             self.ckpt.save(step, jax.device_get(state.params),
                            extra={"epoch": epoch, "val_loss": val_loss})
+            self.ckpt.save_state(step, jax.device_get(state))
             self.logger.log_metrics(
                 {"epoch_time_s": time.time() - t_epoch, "val_loss": val_loss},
                 step=step,
