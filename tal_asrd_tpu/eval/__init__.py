@@ -16,6 +16,26 @@ from tal_asrd_tpu.eval.clustering import (
     make_cluster_fn,
     neg_dot_product,
 )
+from tal_asrd_tpu.eval.convert import convert_results
+from tal_asrd_tpu.eval.gen_embed import generate_speaker_embeddings, save_split
+from tal_asrd_tpu.eval.runner import EvalRunner
+from tal_asrd_tpu.eval.wder_search import (
+    corpus_wder_map,
+    default_param_grid,
+    get_wder,
+    get_wder_edits,
+    get_word_speakers,
+    wder_segment_grid,
+)
+from tal_asrd_tpu.eval.tools import (
+    apply_role_names,
+    eval_transcripts,
+    export_tsne,
+    merge_outputs,
+    prune_bad_utterances,
+    splice_at_eot,
+    strip_output,
+)
 
 __all__ = [
     "eval_distance",
@@ -33,4 +53,21 @@ __all__ = [
     "inverse_dot_product",
     "make_cluster_fn",
     "neg_dot_product",
+    "convert_results",
+    "generate_speaker_embeddings",
+    "save_split",
+    "EvalRunner",
+    "corpus_wder_map",
+    "default_param_grid",
+    "get_wder",
+    "get_wder_edits",
+    "get_word_speakers",
+    "wder_segment_grid",
+    "apply_role_names",
+    "eval_transcripts",
+    "export_tsne",
+    "merge_outputs",
+    "prune_bad_utterances",
+    "splice_at_eot",
+    "strip_output",
 ]
