@@ -70,6 +70,7 @@ class ModelConfig:
     tds_depths: Tuple[int, ...] = (2, 3, 6)
     tds_kernel: int = 21
     tds_dropout: float = 0.2   # reference passes model-level dropout to TDS
+    remat: bool = False        # rematerialize encoder blocks in training
 
     def __post_init__(self):
         if self.model_type not in ("1x", "2x"):

@@ -74,6 +74,7 @@ class ASRModel(nn.Module):
             kernel=c.tds_kernel,
             dropout=c.tds_dropout,
             dtype=self.dtype,
+            remat=c.remat,
         )
         self.decoder_proj = nn.Dense(d, dtype=self.dtype)
         self.enc_drop = nn.Dropout(c.dropout)

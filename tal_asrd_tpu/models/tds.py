@@ -77,6 +77,7 @@ class TDS(nn.Module):
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
     extract_groups: int = 1              # groups in the `extract` stage
+    remat: bool = False                  # rematerialize blocks (memory<->FLOPs)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False, stage: str = "all") -> jax.Array:
@@ -92,6 +93,12 @@ class TDS(nn.Module):
         else:
             groups = range(n_groups)
 
+        # Activation rematerialization: the encoder dominates training memory
+        # (e.g. [B, 1000, 1440] bf16 per block for 20 s clips); remat trades
+        # it for recompute in the backward pass (jax.checkpoint).
+        Block = (
+            nn.remat(TDSBlock, static_argnums=(2,)) if self.remat else TDSBlock
+        )
         for gi in groups:
             x = nn.Conv(
                 self.sizes[gi + 1],
@@ -103,14 +110,14 @@ class TDS(nn.Module):
                 name=f"down_{gi}",
             )(x)
             for bi in range(self.depths[gi]):
-                x = TDSBlock(
+                x = Block(
                     hidden=self.sizes[gi + 1],
                     kernel=self.kernel,
                     groups=self.input_size,
                     dropout=self.dropout,
                     dtype=self.dtype,
                     name=f"group_{gi}_block_{bi}",
-                )(x, train=train)
+                )(x, train)  # positional: remat static_argnums=(2,)
         return x
 
 
