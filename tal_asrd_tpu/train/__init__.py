@@ -12,6 +12,13 @@ from tal_asrd_tpu.train.schedules import (
     linear_decay_schedule,
     constant_schedule,
 )
+from tal_asrd_tpu.train.loop import Trainer, TrainerConfig
+from tal_asrd_tpu.train.lm_system import LMSystem, LMTextDataset
+from tal_asrd_tpu.train.embed_system import (
+    ContrastiveCollator,
+    ContrastiveDataset,
+    EmbedSystem,
+)
 
 __all__ = [
     "ASRSystem",
@@ -28,4 +35,11 @@ __all__ = [
     "inv_sqrt_schedule",
     "linear_decay_schedule",
     "constant_schedule",
+    "Trainer",
+    "TrainerConfig",
+    "LMSystem",
+    "LMTextDataset",
+    "ContrastiveCollator",
+    "ContrastiveDataset",
+    "EmbedSystem",
 ]
