@@ -37,7 +37,7 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     max_new = int(os.environ.get("BENCH_STEPS", "96"))
     beam = int(os.environ.get("BENCH_BEAM", "1"))
-    iters = int(os.environ.get("BENCH_ITERS", "3"))
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
 
     window_secs = 28.56  # 357 encoder frames ~ 28.5 s (system.py:658 chunk)
     sr = 16000
@@ -73,16 +73,18 @@ def main():
     out = decode(variables, audio, audio_lens)
     np.asarray(out["tokens"])
 
-    times = []
+    # Serving-style pipelined measurement: dispatch `iters` batches
+    # back-to-back and fence once at the end, amortizing the tunnel's fixed
+    # per-call round-trip (~40 ms) the way a real serving loop keeps batches
+    # in flight.
+    t0 = time.perf_counter()
     for _ in range(iters):
-        t0 = time.perf_counter()
         out = decode(variables, audio, audio_lens)
-        np.asarray(out["tokens"])
-        times.append(time.perf_counter() - t0)
+    np.asarray(out["tokens"])
+    per_batch = (time.perf_counter() - t0) / iters
 
-    best = min(times)
     audio_seconds = batch * window_secs
-    realtime_x = audio_seconds / best
+    realtime_x = audio_seconds / per_batch
     audio_hours_per_hour = realtime_x  # hours of audio per wall hour
 
     print(json.dumps({
