@@ -31,6 +31,10 @@ def main(argv=None):
                    default="euclidean")
     p.add_argument("--cluster-method", default="hdbscan",
                    choices=["hdbscan", "dbscan", "agglomerative", "gmm"])
+    p.add_argument("--grid-search", action="store_true", default=False,
+                   help="hyper-search clustering params (wder.py:408-441 "
+                        "gp_minimize analog: seeded random search, 10 calls)")
+    p.add_argument("--n-calls", type=int, default=10)
     args = p.parse_args(argv)
 
     np.random.seed(2020)
@@ -41,15 +45,41 @@ def main(argv=None):
     print(f"{len(paired_results):,} test pairs loaded from {args.eval_file}")
 
     tok_fn = word_tokenize if args.tokenizer == "punkt" else tweet_tokenize
-    cluster_fn = (
-        make_cluster_fn(args.cluster_method, metric=args.metric)
-        if args.cluster else None
-    )
-    outputs = corpus_wder(
-        paired_results, wer_only=args.wer_only, workers=args.workers,
-        should_cluster=args.cluster, cluster_fn=cluster_fn,
-        tokenizer=tok_fn, verbose=True,
-    )
+
+    if args.grid_search and args.cluster:
+        # Hyper-search over min_cluster_size / min_samples (the reference
+        # optimizes the same 2-int space with skopt gp_minimize, which is not
+        # available offline; a seeded random search over the identical space
+        # keeps the capability).
+        rng = np.random.RandomState(0)
+        best = (None, float("inf"), None)
+        for call in range(args.n_calls):
+            params = {
+                "min_cluster_size": int(rng.randint(2, 11)),
+                "min_samples": int(rng.randint(2, 11)),
+            }
+            fn = make_cluster_fn(args.cluster_method, metric=args.metric,
+                                 **params)
+            out = corpus_wder(
+                paired_results, wer_only=args.wer_only, workers=args.workers,
+                should_cluster=True, cluster_fn=fn, tokenizer=tok_fn,
+            )
+            wder = out[2]
+            print(f"call {call}: {params} -> WDER {wder*100:.3f}%")
+            if wder < best[1]:
+                best = (params, wder, out)
+        print(f"best: {best[0]} WDER {best[1]*100:.3f}%")
+        outputs = best[2]
+    else:
+        cluster_fn = (
+            make_cluster_fn(args.cluster_method, metric=args.metric)
+            if args.cluster else None
+        )
+        outputs = corpus_wder(
+            paired_results, wer_only=args.wer_only, workers=args.workers,
+            should_cluster=args.cluster, cluster_fn=cluster_fn,
+            tokenizer=tok_fn, verbose=True,
+        )
     stub = os.path.basename(args.eval_file).split(".", 1)[0]
     out = os.path.join(os.path.dirname(args.eval_file), f"{stub}-wder.pkl")
     with open(out, "wb") as f:
