@@ -125,6 +125,15 @@ def unaligned_decode(
             & (c["gen_len"] < l_max - 1)
         )
 
+    def _guard(cond_val, new, old):
+        """Freeze state when cond_val is False. A no-op for the single-lane
+        while_loop (the body only runs when cond held), but REQUIRED under
+        vmap: batched while_loops run the body for every lane until all lanes
+        finish, so finished lanes must keep their state bit-for-bit."""
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(cond_val, a, b), new, old
+        )
+
     def outer_body(c):
         chunk_start = jnp.minimum(c["chunk_start"], last_chunk_start)
 
@@ -281,7 +290,7 @@ def unaligned_decode(
                 method=type(model).decode_step,
             )
 
-            return dict(
+            new_ic = dict(
                 gen=gen,
                 gen_len=gen_len,
                 align_attn=align_attn,
@@ -299,10 +308,11 @@ def unaligned_decode(
                 done=done,
                 iters=ic["iters"] + 1,
             )
+            return _guard(inner_cond(ic), new_ic, ic)
 
         ic = jax.lax.while_loop(inner_cond, inner_body, inner0)
 
-        return dict(
+        new_c = dict(
             gen=ic["gen"],
             gen_len=ic["gen_len"],
             align_attn=ic["align_attn"],
@@ -316,6 +326,7 @@ def unaligned_decode(
             iters=ic["iters"],
             outer=c["outer"] + 1,
         )
+        return _guard(outer_cond(c), new_c, c)
 
     c = jax.lax.while_loop(outer_cond, outer_body, carry0)
     return {
@@ -325,3 +336,32 @@ def unaligned_decode(
         "align_chunk": c["align_chunk"],
         "iters": c["iters"],
     }
+
+
+def unaligned_decode_batched(
+    model,
+    variables,
+    encoder_outs: Dict[str, jax.Array],   # encoder_out [N, S, D] (+ mask)
+    encoder_lens: jax.Array,              # [N]
+    spec: UnalignedSpec,
+):
+    """Decode N episodes in lockstep via vmap over the single-episode state
+    machine. The body guards (`_guard`) freeze finished lanes, so each lane's
+    result is bit-identical to its standalone unaligned_decode run; wall time
+    is max over lanes instead of sum. Episode encoder outputs must be padded
+    to a common S (mask the tail via encoder_lens)."""
+
+    def one(enc, mask, n):
+        eo = {"encoder_out": enc[None], "encoder_padding_mask": None if mask is None else mask[None]}
+        return unaligned_decode(model, variables, eo, n, spec)
+
+    mask = encoder_outs.get("encoder_padding_mask")
+    if mask is None:
+        out = jax.vmap(lambda e, n: one(e, None, n))(
+            encoder_outs["encoder_out"], encoder_lens
+        )
+    else:
+        out = jax.vmap(one)(encoder_outs["encoder_out"], mask, encoder_lens)
+    # squeeze the inner batch=1 axis of tokens: [N, 1, L] -> [N, L]
+    out["tokens"] = out["tokens"][:, 0]
+    return out
