@@ -114,7 +114,12 @@ def build_index(
             pass
 
     transcripts = load_transcripts(data_dir)
+    # joblib workers re-import the interpreter (and jax); cap fan-out by the
+    # actual core count and by the episode count.
+    n_jobs = max(1, min(n_jobs, os.cpu_count() or 1, len(transcripts)))
     try:
+        if n_jobs == 1:
+            raise ImportError  # sequential path below
         from joblib import Parallel, delayed
 
         parts = Parallel(n_jobs=n_jobs)(
