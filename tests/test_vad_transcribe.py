@@ -103,6 +103,33 @@ def test_splice_strings_no_match_keeps_both():
     assert "zzz qqq xxx" in out
 
 
+def test_vad_pipeline_resume(tmp_path):
+    """Batch VAD over a directory writes bounds + speech wavs and skips
+    completed files on re-run (webrtcvad.py:153-157 resume semantics)."""
+    import pickle
+
+    from tal_asrd_tpu.data.audio_io import write_wav
+    from tal_asrd_tpu.vad.pipeline import run_vad_directory
+
+    data = tmp_path / "wavs"
+    data.mkdir()
+    write_wav(str(data / "ep0.wav"), synth_audio(total=5.0,
+                                                 speech_spans=((1.0, 3.0),)))
+    out = tmp_path / "vad"
+    res = run_vad_directory(str(data), str(out), workers=1)
+    assert len(res) == 1
+    bounds_path = out / "ep0.bounds.pkl"
+    assert bounds_path.exists()
+    assert (out / "ep0.speech.wav").exists()
+    with open(bounds_path, "rb") as f:
+        bounds = pickle.load(f)
+    assert bounds, "no speech found"
+    # resume: delete nothing, mtime unchanged after re-run
+    mtime = bounds_path.stat().st_mtime_ns
+    run_vad_directory(str(data), str(out), workers=1)
+    assert bounds_path.stat().st_mtime_ns == mtime
+
+
 def test_transcriber_end_to_end():
     import jax
     from tal_asrd_tpu.core.config import FrontendConfig, ModelConfig
