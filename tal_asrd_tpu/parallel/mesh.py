@@ -16,12 +16,15 @@ the all-reduce / all-gather collectives over ICI.
 """
 from __future__ import annotations
 
+import logging
 import re
 from typing import Optional, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger(__name__)
 
 
 def make_mesh(data: int = -1, model: int = 1, devices: Optional[Sequence] = None) -> Mesh:
@@ -113,7 +116,9 @@ def param_shardings(mesh: Mesh, params) -> dict:
     for path, leaf in flat:
         ps = path_str(path)
         spec = _spec_for_path(ps)
-        # Only apply if divisible; otherwise replicate (keeps tiny test shapes valid).
+        # Only apply if divisible; otherwise replicate. The fallback is LOUD:
+        # at real scale a typo'd rule silently degrading to replication wastes
+        # HBM proportional to the TP degree, so every fallback is logged.
         ok = True
         for dim, axis in enumerate(spec):
             if axis is None:
@@ -123,9 +128,45 @@ def param_shardings(mesh: Mesh, params) -> dict:
             if dim >= leaf.ndim or leaf.shape[dim] % size != 0:
                 ok = False
                 break
+        if not ok and spec != P():
+            logger.warning(
+                "param_shardings: %s shape=%s indivisible by %s on mesh %s — "
+                "falling back to full replication",
+                ps, tuple(leaf.shape), spec, dict(mesh.shape),
+            )
         specs[ps] = spec if ok else P()
 
     def build(path, leaf):
         return NamedSharding(mesh, specs[path_str(path)])
 
     return jax.tree_util.tree_map_with_path(build, params)
+
+
+def opt_state_shardings(mesh: Mesh, opt_state, params, p_shardings):
+    """Sharding pytree for an optax opt_state: any subtree that mirrors the
+    param pytree (LAMB/Adam mu & nu, Lookahead slow weights, …) follows the
+    param shardings; everything else (step counts, scalars) is replicated.
+
+    The reference's DDP keeps optimizer state fully replicated per GPU
+    (implicit in torch DDP); under a real 'model' axis that layout wastes HBM
+    proportional to the TP degree and forces a reshard of mu/nu against the
+    sharded params every step — so here moments follow the params exactly.
+    """
+    p_treedef = jax.tree_util.tree_structure(params)
+    rep = replicated_sharding(mesh)
+
+    def place(node):
+        try:
+            if jax.tree_util.tree_structure(node) == p_treedef:
+                return jax.tree_util.tree_map(lambda _, s: s, node, p_shardings)
+        except Exception:
+            pass
+        if isinstance(node, tuple) and hasattr(node, "_fields"):  # NamedTuple
+            return type(node)(*(place(c) for c in node))
+        if isinstance(node, (tuple, list)):
+            return type(node)(place(c) for c in node)
+        if isinstance(node, dict):
+            return {k: place(v) for k, v in node.items()}
+        return rep
+
+    return place(opt_state)

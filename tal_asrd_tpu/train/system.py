@@ -39,7 +39,12 @@ from tal_asrd_tpu.core.config import (
     TrainConfig,
 )
 from tal_asrd_tpu.models.asr import ASRModel
-from tal_asrd_tpu.parallel.mesh import batch_sharding, param_shardings, replicated_sharding
+from tal_asrd_tpu.parallel.mesh import (
+    batch_sharding,
+    opt_state_shardings,
+    param_shardings,
+    replicated_sharding,
+)
 from tal_asrd_tpu.train.losses import masked_token_loss
 from tal_asrd_tpu.train.optimizers import lamb
 from tal_asrd_tpu.train.schedules import constant_schedule, linear_decay_schedule
@@ -259,24 +264,22 @@ class ASRSystem:
 
     # ------------------------------------------------------------------
     def shard_state(self, mesh, state: TrainState) -> TrainState:
-        """Place a host TrainState onto the mesh: params/opt_state follow the
-        TP rules (replicated over 'data'), step replicated."""
+        """Place a host TrainState onto the mesh: params follow the TP rules
+        (replicated over 'data'); optimizer moments (LAMB mu/nu) follow the
+        SAME shardings as their params — replicating them would waste HBM
+        proportional to the TP degree and force a reshard every step."""
         p_sh = param_shardings(mesh, state.params)
         params = jax.tree_util.tree_map(jax.device_put, state.params, p_sh)
-
-        def put_opt(x):
-            return jax.device_put(x, replicated_sharding(mesh))
-
-        # LAMB mu/nu mirror param shapes; shard them identically where possible.
-        def put_like(x):
-            try:
-                return jax.device_put(x, replicated_sharding(mesh))
-            except Exception:
-                return x
-
-        opt_state = jax.tree_util.tree_map(put_like, state.opt_state)
+        o_sh = opt_state_shardings(mesh, state.opt_state, state.params, p_sh)
+        opt_state = jax.tree_util.tree_map(jax.device_put, state.opt_state, o_sh)
         return TrainState(
             step=jax.device_put(state.step, replicated_sharding(mesh)),
             params=params,
             opt_state=opt_state,
         )
+
+    def state_shardings(self, mesh, state: TrainState) -> TrainState:
+        """Sharding pytree matching `state` (for jit out_shardings / asserts)."""
+        p_sh = param_shardings(mesh, state.params)
+        o_sh = opt_state_shardings(mesh, state.opt_state, state.params, p_sh)
+        return TrainState(step=replicated_sharding(mesh), params=p_sh, opt_state=o_sh)
