@@ -76,14 +76,20 @@ def get_lm_argparser() -> argparse.ArgumentParser:
     return p
 
 
-def build_configs(args):
-    """argparse Namespace -> framework config dataclasses."""
+def build_configs(args, tokenizer=None):
+    """argparse Namespace -> framework config dataclasses.
+
+    `tokenizer`, when given, sizes the text vocabulary (the reference derives
+    num_tokens from len(tokenizer) + num_speakers, tal/asr/models.py:103-117;
+    without it the ModelConfig default of 10000 — the TAL BPE size — is kept).
+    """
     from tal_asrd_tpu.core.config import DecodeConfig, ModelConfig, TrainConfig
 
     model_cfg = ModelConfig(
         model_type=args.model_type,
         num_speakers=args.num_speakers,
         use_speaker_head=args.spk_weight > 0,
+        **({"vocab_size": len(tokenizer)} if tokenizer is not None else {}),
     )
     train_cfg = TrainConfig(
         batch_size=args.batch_size,
@@ -97,5 +103,5 @@ def build_configs(args):
         lm_weight=args.lm_weight,
         max_secs=args.max_secs,
     )
-    decode_cfg = DecodeConfig(beam_size=args.beam_size)
+    decode_cfg = DecodeConfig(beam_size=args.beam_size, lm_weight=args.lm_weight)
     return model_cfg, train_cfg, decode_cfg

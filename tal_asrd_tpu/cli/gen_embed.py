@@ -21,7 +21,7 @@ def main(argv=None):
     from tal_asrd_tpu.train import ASRSystem
 
     tokenizer = BpeTokenizer(model_path=args.tokenizer)
-    model_cfg, train_cfg, _ = build_configs(args)
+    model_cfg, train_cfg, _ = build_configs(args, tokenizer)
     system = ASRSystem(model_cfg, train_cfg)
 
     data_dir = args.train_data[0]

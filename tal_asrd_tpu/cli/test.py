@@ -29,7 +29,7 @@ def main(argv=None):
     assert args.load, "--load (checkpoint) required"
 
     tokenizer = BpeTokenizer(model_path=args.tokenizer)
-    model_cfg, train_cfg, decode_cfg = build_configs(args)
+    model_cfg, train_cfg, decode_cfg = build_configs(args, tokenizer)
     decode_cfg = DecodeConfig(**{**decode_cfg.__dict__, "beam_size": args.beam_size})
 
     system = ASRSystem(model_cfg, train_cfg)
@@ -57,8 +57,20 @@ def main(argv=None):
         state.params, load_pytree(args.load), strict=not args.no_strict
     )
     variables = {"params": params}
+
+    # Optional shallow-fusion LM (test.py:47-55: DecoderLMModel vocab=10000,
+    # hidden 512, 4 heads, 6 layers, max_len 512).
+    lm = lm_variables = None
+    if args.lm_path and args.lm_weight > 0:
+        from tal_asrd_tpu.core.config import LMConfig
+        from tal_asrd_tpu.models.lm import DecoderLMModel
+
+        lm = DecoderLMModel(LMConfig(vocab_size=len(tokenizer)))
+        lm_variables = {"params": load_pytree(args.lm_path)}
+
     runner = EvalRunner(system.model, variables, tokenizer, decode_cfg,
-                        out_dir=args.out_dir, spk_weight=args.spk_weight)
+                        out_dir=args.out_dir, spk_weight=args.spk_weight,
+                        lm=lm, lm_variables=lm_variables)
 
     if args.unaligned:
         for i in range(len(ds)):

@@ -89,7 +89,7 @@ def main(argv=None):
         args.cache_path, "tokenizer", args.tokenizer
     ) if not os.path.exists(args.tokenizer) else args.tokenizer)
 
-    model_cfg, train_cfg, _ = build_configs(args)
+    model_cfg, train_cfg, _ = build_configs(args, tokenizer)
     mesh = make_mesh(args.mesh_data, args.mesh_model)
     train_cfg = type(train_cfg)(**{
         **train_cfg.__dict__, "num_data_shards": mesh.shape["data"],

@@ -169,6 +169,9 @@ class DecodeConfig:
 
     beam_size: int = 5
     max_length: int = 512
+    # LM shallow fusion weight (test.py:47-55, system.py:127-138, :368-384);
+    # applied in both the beam and the unaligned decoders when an LM is given.
+    lm_weight: float = 0.0
     # Unaligned sliding-window decoder state machine:
     chunk_size: int = 357     # encoder frames per window (~28.5 s of audio)
     thresh_prct: float = 0.5

@@ -70,6 +70,11 @@ class UnalignedSpec:
     max_outer: int = 4096         # window-reconfiguration budget
     history_evict_block: int = 64 # tokens evicted when history hits cap (1 = reference)
     warmup_window_steps: int = 5  # progress floor not raised in first steps (system.py:415-417)
+    # LM shallow fusion (system.py:368-384): logprobs[:lm_vocab] +=
+    # lm_weight * lm_logprobs; the LM never sees speaker tokens (input ids
+    # clamped to text_vocab_size - 1, system.py:370-371).
+    lm_weight: float = 0.0
+    text_vocab_size: Optional[int] = None
 
 
 def unaligned_decode(
@@ -78,6 +83,8 @@ def unaligned_decode(
     encoder_out: Dict[str, jax.Array],
     encoder_len: jax.Array,            # scalar: valid encoder frames
     spec: UnalignedSpec,
+    lm=None,
+    lm_variables=None,
 ):
     """Decode one episode. encoder_out['encoder_out']: [1, S_full, D].
 
@@ -88,6 +95,11 @@ def unaligned_decode(
       align_chunk [max_tokens]     window offset per generated token
       iters       []               decode steps executed
     """
+    use_lm = lm is not None and spec.lm_weight > 0
+    if use_lm:
+        assert spec.text_vocab_size is not None, "LM fusion needs text_vocab_size"
+        lm_vars = lm_variables if lm_variables is not None else variables
+
     enc = encoder_out["encoder_out"]          # [1, S, D]
     s_full = enc.shape[1]
     chunk = spec.chunk_size
@@ -166,7 +178,23 @@ def unaligned_decode(
         attn_range = jnp.arange(chunk, dtype=jnp.float32) / chunk
         is_last = (encoder_len - chunk_start) <= chunk
 
+        lm_extra = {}
+        if use_lm:
+            # LM prefill over the SAME history slice, speaker tokens clamped
+            # out of its input (system.py:368-377).
+            lm_hist = jnp.minimum(hist, spec.text_vocab_size - 1)
+            lm_logits_all, lm_caches = lm.apply(
+                lm_vars, lm_hist, p_max, method=type(lm).decode_prefill
+            )
+            lm_extra = dict(
+                lm_caches=lm_caches,
+                lm_last=jax.lax.dynamic_index_in_dim(
+                    lm_logits_all[0], valid - 1, axis=0, keepdims=False
+                ),
+            )
+
         inner0 = dict(
+            **lm_extra,
             gen=c["gen"],
             gen_len=c["gen_len"],
             align_attn=c["align_attn"],
@@ -196,8 +224,22 @@ def unaligned_decode(
 
         def inner_body(ic):
             gen_len = ic["gen_len"]
-            # -- Emit token from the previous step's logits (system.py:386) --
-            next_tok = jnp.argmax(ic["last_logits"]).astype(jnp.int32)
+            # -- Emit token from the previous step's logits (system.py:386),
+            # shallow-fused with the LM over the text vocab (system.py:368-384)
+            if use_lm:
+                logprobs = jax.nn.log_softmax(
+                    ic["last_logits"].astype(jnp.float32), -1
+                )
+                lm_logprobs = jax.nn.log_softmax(
+                    ic["lm_last"].astype(jnp.float32), -1
+                )
+                width = min(logprobs.shape[-1], lm_logprobs.shape[-1])
+                fused = logprobs.at[:width].add(
+                    spec.lm_weight * lm_logprobs[:width]
+                )
+                next_tok = jnp.argmax(fused).astype(jnp.int32)
+            else:
+                next_tok = jnp.argmax(ic["last_logits"]).astype(jnp.int32)
             gen = jax.lax.dynamic_update_slice(
                 ic["gen"], next_tok.reshape(1, 1), (0, gen_len)
             )
@@ -290,7 +332,17 @@ def unaligned_decode(
                 method=type(model).decode_step,
             )
 
+            lm_new = {}
+            if use_lm:
+                lm_in = jnp.minimum(next_tok, spec.text_vocab_size - 1)
+                lm_logits, lm_caches = lm.apply(
+                    lm_vars, lm_in.reshape(1, 1), ic["lm_caches"],
+                    ic["cache_idx"], method=type(lm).decode_step,
+                )
+                lm_new = dict(lm_caches=lm_caches, lm_last=lm_logits[0])
+
             new_ic = dict(
+                **lm_new,
                 gen=gen,
                 gen_len=gen_len,
                 align_attn=align_attn,
@@ -344,6 +396,8 @@ def unaligned_decode_batched(
     encoder_outs: Dict[str, jax.Array],   # encoder_out [N, S, D] (+ mask)
     encoder_lens: jax.Array,              # [N]
     spec: UnalignedSpec,
+    lm=None,
+    lm_variables=None,
 ):
     """Decode N episodes in lockstep via vmap over the single-episode state
     machine. The body guards (`_guard`) freeze finished lanes, so each lane's
@@ -353,7 +407,8 @@ def unaligned_decode_batched(
 
     def one(enc, mask, n):
         eo = {"encoder_out": enc[None], "encoder_padding_mask": None if mask is None else mask[None]}
-        return unaligned_decode(model, variables, eo, n, spec)
+        return unaligned_decode(model, variables, eo, n, spec,
+                                lm=lm, lm_variables=lm_variables)
 
     mask = encoder_outs.get("encoder_padding_mask")
     if mask is None:

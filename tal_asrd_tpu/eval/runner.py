@@ -33,13 +33,18 @@ from tal_asrd_tpu.train.losses import masked_token_loss
 class EvalRunner:
     def __init__(self, model: ASRModel, variables, tokenizer,
                  decode_cfg: DecodeConfig = DecodeConfig(),
-                 out_dir: str = "out", spk_weight: float = 0.0):
+                 out_dir: str = "out", spk_weight: float = 0.0,
+                 lm=None, lm_variables=None):
         self.model = model
         self.variables = variables
         self.tokenizer = tokenizer
         self.cfg = decode_cfg
         self.out_dir = out_dir
         self.spk_weight = spk_weight
+        # Shallow-fusion LM (test.py:47-55); used by both decode paths when
+        # decode_cfg.lm_weight > 0.
+        self.lm = lm
+        self.lm_variables = lm_variables
         self.test_outputs: List = []
         self._losses: List[float] = []
         self._jit = {}
@@ -75,13 +80,15 @@ class EvalRunner:
             text_vocab_size=len(self.tokenizer),
             collect_spk=self.model.cfg.use_speaker_head,
             num_speakers=self.model.cfg.num_speakers,
+            lm_weight=self.cfg.lm_weight if self.lm is not None else 0.0,
         )
-        model = self.model
+        model, lm, lm_vars = self.model, self.lm, self.lm_variables
 
         @jax.jit
         def run(variables, audio, lens, prime):
             enc = model.apply(variables, audio, lens, False, method=ASRModel.encode)
-            return beam_search(model, variables, enc, prime, spec)
+            return beam_search(model, variables, enc, prime, spec,
+                               lm=lm, lm_params=lm_vars)
 
         self._jit[key] = run
         return run
@@ -153,9 +160,12 @@ class EvalRunner:
                 stall_patience=self.cfg.stall_patience,
                 rep_n=self.cfg.rep_n,
                 skip_prct=self.cfg.skip_prct,
+                lm_weight=self.cfg.lm_weight if self.lm is not None else 0.0,
+                text_vocab_size=len(self.tokenizer),
             )
         out = unaligned_decode(model, self.variables, enc,
-                               jnp.asarray(enc_len), spec)
+                               jnp.asarray(enc_len), spec,
+                               lm=self.lm, lm_variables=self.lm_variables)
         n = int(out["num_tokens"])
         gen = list(np.asarray(out["tokens"][0, :n]))
         attn = np.asarray(out["align_attn"][: n - 1], np.float32)

@@ -95,3 +95,21 @@ class DecoderLMModel(nn.Module):
             x, nc = blk(x, train=False, cache=cache, cache_index=index)
             new_caches.append(nc)
         return self.embedding.attend(x)[:, -1], tuple(new_caches)
+
+    def decode_prefill(self, tokens: jax.Array, cache_len: int):
+        """Causal full decode of a history buffer [B, P] that also fills the
+        self-attention KV caches (positions restart at 0 for the slice — the
+        LM sees the same re-sliced history window as the ASR decoder during
+        unaligned fusion, tal/asr/system.py:368-377).
+
+        Returns (logits [B, P, vocab], caches filled at positions [0, P))."""
+        b, p = tokens.shape
+        caches = self.init_cache(b, cache_len)
+        x = self.embedding(tokens)
+        x = self.pos(x, train=False)
+        new_caches = []
+        for blk, cache in zip(self.blocks, caches):
+            x, nc = blk(x, train=False, cache=cache,
+                        cache_index=jnp.zeros((), jnp.int32))
+            new_caches.append(nc)
+        return self.embedding.attend(x), tuple(new_caches)

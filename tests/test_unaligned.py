@@ -44,7 +44,7 @@ def setup():
     return model, variables, enc, enc_len
 
 
-def run(setup, **kw):
+def run(setup, lm=None, lm_variables=None, **kw):
     model, variables, enc, enc_len = setup
     spec = UnalignedSpec(
         eos_id=EOS,
@@ -56,7 +56,8 @@ def run(setup, **kw):
         max_outer=kw.pop("max_outer", 64),
         **kw,
     )
-    return spec, unaligned_decode(model, variables, enc, enc_len, spec)
+    return spec, unaligned_decode(model, variables, enc, enc_len, spec,
+                                  lm=lm, lm_variables=lm_variables)
 
 
 def test_unaligned_terminates_and_counts(setup):
@@ -102,3 +103,85 @@ def test_unaligned_jits(setup):
     )
     out = f(variables, enc, enc_len)
     assert int(out["num_tokens"]) > 1
+
+
+# ---------------------------------------------------------------------------
+# LM shallow fusion (system.py:368-384)
+# ---------------------------------------------------------------------------
+def _tiny_lm():
+    from tal_asrd_tpu.core.config import LMConfig
+    from tal_asrd_tpu.models.lm import DecoderLMModel
+
+    cfg = LMConfig(vocab_size=TINY.vocab_size, hidden_size=16, n_head=2,
+                   n_layers=1, max_positions=64, dropout=0.0)
+    lm = DecoderLMModel(cfg)
+    toks = jnp.zeros((1, 4), jnp.int32)
+    lm_vars = lm.init({"params": jax.random.PRNGKey(7)}, toks)
+    return lm, lm_vars
+
+
+class _ConstLM:
+    """Stub LM with a fixed favorite token — deterministic fusion direction."""
+
+    def __init__(self, vocab: int, fav: int, scale: float = 100.0):
+        self.logits = jnp.zeros((vocab,), jnp.float32).at[fav].set(scale)
+
+    def apply(self, variables, *args, method=None):
+        return method(self, *args)
+
+    def decode_prefill(self, tokens, cache_len):
+        b, p = tokens.shape
+        v = self.logits.shape[0]
+        return jnp.broadcast_to(self.logits, (b, p, v)), (jnp.zeros((1,)),)
+
+    def decode_step(self, y_tok, caches, index):
+        b = y_tok.shape[0]
+        return jnp.broadcast_to(self.logits, (b, self.logits.shape[0])), caches
+
+
+def test_unaligned_lm_weight_zero_matches_no_lm(setup):
+    """Passing an LM with lm_weight=0 must be bit-identical to no LM."""
+    lm, lm_vars = _tiny_lm()
+    _, base = run(setup, max_iters=200)
+    _, fused = run(setup, max_iters=200, lm_weight=0.0,
+                   text_vocab_size=TINY.vocab_size, lm=lm, lm_variables=lm_vars)
+    assert int(base["num_tokens"]) == int(fused["num_tokens"])
+    n = int(base["num_tokens"])
+    np.testing.assert_array_equal(
+        np.asarray(base["tokens"][0, :n]), np.asarray(fused["tokens"][0, :n])
+    )
+
+
+def test_unaligned_lm_fusion_biases_output(setup):
+    """A strong LM prior toward one token must suppress every OTHER text
+    token; speaker tokens (outside the LM vocab) are never penalized —
+    system.py:381-383 only adds over the LM's vocab width. So in the fused
+    decode the only text tokens that can be emitted are the LM's favorite
+    (EOS written by state-machine resets excepted), while the base decode
+    emits other text tokens freely."""
+    fav = 7
+    lm = _ConstLM(TINY.vocab_size, fav)
+    _, base = run(setup, max_iters=200)
+    _, fused = run(setup, max_iters=200, lm_weight=10.0,
+                   text_vocab_size=TINY.vocab_size, lm=lm, lm_variables={})
+    toks_b = np.asarray(base["tokens"][0, 1:int(base["num_tokens"])])
+    toks_f = np.asarray(fused["tokens"][0, 1:int(fused["num_tokens"])])
+    text_f = toks_f[(toks_f < TINY.vocab_size) & (toks_f != EOS)]
+    text_b = toks_b[(toks_b < TINY.vocab_size) & (toks_b != EOS)]
+    assert (text_f == fav).all(), text_f
+    # and the base decode does NOT have that property (the prior changed it)
+    assert len(text_b) == 0 or not (text_b == fav).all() or not np.array_equal(
+        toks_b, toks_f
+    )
+
+
+def test_unaligned_real_lm_runs(setup):
+    """Fusion with the real DecoderLMModel (KV-cached prefill + steps) decodes
+    to completion with valid tokens."""
+    lm, lm_vars = _tiny_lm()
+    spec, out = run(setup, max_iters=200, lm_weight=0.5,
+                    text_vocab_size=TINY.vocab_size, lm=lm, lm_variables=lm_vars)
+    n = int(out["num_tokens"])
+    assert 1 < n <= spec.max_tokens
+    toks = np.asarray(out["tokens"][0, :n])
+    assert (toks >= 0).all() and (toks < TINY.vocab_size + TINY.num_speakers).all()
