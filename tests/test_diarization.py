@@ -23,7 +23,30 @@ from tal_asrd_tpu.diarization import (
 )
 
 
-def test_gru_matches_torch():
+def test_gru_matches_torch_golden():
+    """Always-on parity vs a committed torch.nn.GRU golden fixture
+    (tests/fixtures/gru_golden.npz; gate order r,z,n and the torch-specific
+    n-gate bias placement — tal/diarization/uisrnn/uisrnn.py:27-29)."""
+    import os
+
+    fix = np.load(os.path.join(os.path.dirname(__file__), "fixtures",
+                               "gru_golden.npz"))
+    x = fix["x"]
+    depth, d_h = 2, 8
+    gru = GRU(hidden_size=d_h, depth=depth)
+    params = gru.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    p = dict(params["params"])
+    for k in range(depth):
+        p[f"layer_{k}_wi_kernel"] = jnp.asarray(fix[f"weight_ih_l{k}"].T)
+        p[f"layer_{k}_wi_bias"] = jnp.asarray(fix[f"bias_ih_l{k}"])
+        p[f"layer_{k}_wh_kernel"] = jnp.asarray(fix[f"weight_hh_l{k}"].T)
+        p[f"layer_{k}_wh_bias"] = jnp.asarray(fix[f"bias_hh_l{k}"])
+    out_j, h_j = gru.apply({"params": p}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out_j), fix["out"], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_j), fix["h"], atol=1e-5)
+
+
+def test_gru_matches_torch_live():
     torch = pytest.importorskip("torch")
     d_in, d_h, depth, t, b = 6, 8, 2, 5, 3
     rng = np.random.RandomState(0)

@@ -6,6 +6,8 @@ reflect / Hann / power semantics the reference's torchaudio MelSpectrogram
 uses, /root/reference/tal/asr/models.py:24-32) and the HTK mel filterbank
 against an independent construction.
 """
+import os
+
 import numpy as np
 import pytest
 
@@ -13,6 +15,8 @@ import jax
 import jax.numpy as jnp
 
 from tal_asrd_tpu.core.config import FrontendConfig, SpecAugmentConfig
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
 from tal_asrd_tpu.ops.logmel import (
     log_mel_spectrogram,
     mel_filterbank,
@@ -31,7 +35,30 @@ def test_num_frames():
     assert num_frames(16000 * 20, CFG) == 2001
 
 
-def test_power_spectrogram_matches_torch_stft():
+def test_power_spectrogram_matches_torch_stft_golden():
+    """Always-on parity vs a committed torch.stft golden fixture
+    (tests/fixtures/stft_golden.npz, generated from torch 2.13 CPU with
+    torchaudio MelSpectrogram's STFT options: Hann periodic window, center
+    reflect-pad, onesided, power 2 — tal/asr/models.py:24-32)."""
+    fix = np.load(os.path.join(FIXTURES, "stft_golden.npz"))
+    assert tuple(fix["meta"]) == (CFG.n_fft, CFG.hop_length, CFG.win_length)
+    ours = np.asarray(power_spectrogram(jnp.asarray(fix["audio"]), CFG))
+    assert ours.shape == fix["ref_power"].shape
+    np.testing.assert_allclose(ours, fix["ref_power"], rtol=1e-4, atol=1e-5)
+
+
+def test_logmel_matches_torchaudio_golden():
+    """Full frontend (pre mean-sub) vs the committed torchaudio-composition
+    golden: HTK mel filterbank @ power spectrum, log(mel + 1e-6)."""
+    fix = np.load(os.path.join(FIXTURES, "logmel_golden.npz"))
+    cfg = FrontendConfig(mean_subtract=False)
+    ours = np.asarray(log_mel_spectrogram(jnp.asarray(fix["audio"]), cfg))
+    np.testing.assert_allclose(ours, fix["logmel"], rtol=1e-4, atol=1e-4)
+
+
+def test_power_spectrogram_matches_torch_stft_live():
+    """Re-derives the golden from the locally installed torch when present
+    (guards against fixture staleness)."""
     torch = pytest.importorskip("torch")
     rng = np.random.RandomState(0)
     audio = rng.randn(2, 16000).astype(np.float32) * 0.1
