@@ -57,6 +57,15 @@ def main(argv=None):
                     help="LibriSpeech split dir (speaker/chapter/*.flac|wav + .trans.txt)")
     ls.add_argument("--out-dir", required=True)
 
+    sy = sub.add_parser("synth-corpus",
+                        help="synthetic-speech TAL-format corpus (audio encodes "
+                             "the text; for the self-contained accuracy loop)")
+    sy.add_argument("--out-dir", required=True)
+    sy.add_argument("--episodes", type=int, default=8)
+    sy.add_argument("--episode-seconds", type=float, default=120.0)
+    sy.add_argument("--speakers", type=int, default=4)
+    sy.add_argument("--seed", type=int, default=0)
+
     args = p.parse_args(argv)
 
     if args.cmd == "train-tokenizer":
@@ -197,6 +206,19 @@ def main(argv=None):
         with open(os.path.join(args.out_dir, "speaker_map.json"), "w") as f:
             json.dump(speakers, f)
         print(f"wrote {len(transcripts)} episodes to {args.out_dir}")
+
+    elif args.cmd == "synth-corpus":
+        from tal_asrd_tpu.data.synth import build_synth_corpus
+
+        tr = build_synth_corpus(
+            args.out_dir,
+            n_episodes=args.episodes,
+            episode_seconds=args.episode_seconds,
+            n_speakers=args.speakers,
+            seed=args.seed,
+        )
+        n_utts = sum(len(u) for u in tr.values())
+        print(f"wrote {len(tr)} episodes ({n_utts} utterances) to {args.out_dir}")
 
 
 if __name__ == "__main__":

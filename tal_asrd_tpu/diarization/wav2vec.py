@@ -40,7 +40,7 @@ class ConvFeatureExtractor(nn.Module):
         h = x[:, :, None]
         for i, (dim, k, s) in enumerate(self.plan):
             h = nn.Conv(dim, (k,), strides=(s,), padding="VALID", name=f"conv_{i}")(h)
-            h = nn.GroupNorm(num_groups=1, name=f"norm_{i}")(h)
+            h = nn.GroupNorm(num_groups=1, epsilon=1e-5, name=f"norm_{i}")(h)  # torch eps
             h = nn.relu(h)
         if self.log_compression:
             h = jnp.log(jnp.abs(h) + 1.0)
@@ -55,7 +55,7 @@ class ConvAggregator(nn.Module):
         for i, (dim, k, s) in enumerate(self.plan):
             inp = h
             h = nn.Conv(dim, (k,), strides=(s,), padding="SAME", name=f"conv_{i}")(h)
-            h = nn.GroupNorm(num_groups=1, name=f"norm_{i}")(h)
+            h = nn.GroupNorm(num_groups=1, epsilon=1e-5, name=f"norm_{i}")(h)  # torch eps
             h = nn.relu(h)
             if inp.shape == h.shape:
                 h = h + inp  # residual skip
@@ -77,20 +77,81 @@ def init_wav2vec(seed: int = 0):
     return model, variables
 
 
-def convert_fairseq_weights(state_dict: Dict[str, np.ndarray]):
-    """Map a fairseq wav2vec state dict (torch tensor names) onto this
-    module's param tree. Conv weights transpose [out, in, k] -> [k, in, out]."""
+def convert_fairseq_weights(state_dict: Dict[str, np.ndarray],
+                            variables=None) -> Dict:
+    """Map a fairseq wav2vec state dict onto this module's param tree.
+
+    fairseq's wav2vec (v1) lays blocks out as
+    ``{feature_extractor,feature_aggregator}.conv_layers.{i}.{j}.*`` where the
+    Sequential index ``j`` of the conv/norm submodules varies with config
+    (dropout / padding modules shift it), so tensors are classified by SHAPE
+    within each block instead of by index:
+
+      * 3-D ``weight`` [out, in, k]  -> conv kernel, transposed to [k, in, out]
+      * 1-D ``weight`` / ``bias``    -> Fp32GroupNorm(1, dim) affine scale/bias
+
+    fairseq convs are bias-free; when `variables` (an `init_wav2vec` tree) is
+    given, conv biases absent from the state dict are zero-filled against it
+    and the mapped tree is validated leaf-by-leaf (shape match) so a layout
+    drift fails loudly instead of silently training from random weights.
+    """
     params: Dict = {"feature_extractor": {}, "feature_aggregator": {}}
     for key, val in state_dict.items():
-        val = np.asarray(val)
         parts = key.split(".")
-        if parts[0] == "feature_extractor" and "conv" in key and key.endswith("weight"):
-            idx = int(parts[2]) if parts[2].isdigit() else int(parts[1])
-            if val.ndim == 3:
-                params["feature_extractor"].setdefault(f"conv_{idx}", {})[
-                    "kernel"
-                ] = val.transpose(2, 1, 0)
+        if parts[0] not in params or "conv_layers" not in key:
+            continue
+        val = np.asarray(val)
+        idx = int(parts[2])
+        mod = params[parts[0]]
+        if val.ndim == 3 and parts[-1] == "weight":
+            mod.setdefault(f"conv_{idx}", {})["kernel"] = val.transpose(2, 1, 0)
+        elif val.ndim == 1 and parts[-1] == "weight":
+            mod.setdefault(f"norm_{idx}", {})["scale"] = val
+        elif val.ndim == 1 and parts[-1] == "bias":
+            mod.setdefault(f"norm_{idx}", {})["bias"] = val
+
+    if variables is not None:
+        ref = variables["params"]
+        for group, blocks in ref.items():
+            for bname, leaves in blocks.items():
+                got = params.setdefault(group, {}).setdefault(bname, {})
+                for lname, leaf in leaves.items():
+                    if lname not in got:
+                        assert lname == "bias" and bname.startswith("conv_"), (
+                            f"missing converted leaf {group}/{bname}/{lname}"
+                        )
+                        got[lname] = np.zeros(leaf.shape, np.float32)
+                    assert got[lname].shape == leaf.shape, (
+                        group, bname, lname, got[lname].shape, leaf.shape
+                    )
     return params
+
+
+def plan_from_state_dict(state_dict: Dict[str, np.ndarray], prefix: str,
+                         strides: Optional[Sequence[int]] = None
+                         ) -> List[Tuple[int, int, int]]:
+    """Derive a (dim, kernel, stride) conv plan from fairseq conv weight
+    shapes (so e.g. wav2vec_large's 12-layer kernel-2..13 aggregator maps
+    without hardcoding). Strides are not recoverable from weights: defaults
+    to the known wav2vec extractor strides / all-1 aggregator."""
+    kernels = {}
+    for key, val in state_dict.items():
+        val = np.asarray(val)
+        if key.startswith(prefix + ".conv_layers.") and val.ndim == 3:
+            kernels[int(key.split(".")[2])] = (val.shape[0], val.shape[2])
+    plan = []
+    default_strides = ([s for _, _, s in EXTRACTOR_PLAN]
+                       if prefix == "feature_extractor" else None)
+    for i in sorted(kernels):
+        dim, k = kernels[i]
+        if strides is not None:
+            s = strides[i]
+        elif default_strides is not None and i < len(default_strides):
+            s = default_strides[i]
+        else:
+            s = 1
+        plan.append((dim, k, s))
+    return plan
 
 
 def extract_utterance_features(

@@ -146,3 +146,103 @@ def test_wav2vec_feature_geometry():
     assert 90 <= feats.shape[0] <= 100
     win = extract_utterance_features(model, variables, audio, window_s=0.4)
     assert win.shape[0] == feats.shape[0] // 40
+
+
+def test_wav2vec_fairseq_converter_forward_parity():
+    """Build a state dict with fairseq wav2vec's exact key/shape layout
+    (feature_{extractor,aggregator}.conv_layers.{i}.{j}: bias-free Conv1d at
+    Sequential index 0/1, Fp32GroupNorm(1, dim) affine at 2/3 —
+    /root/reference/tal/diarization/features/wav2vec/__init__.py:41-66 loads
+    such a dict), convert it, and assert the converted JAX forward matches a
+    hand-computed torch stack on the same weights."""
+    torch = pytest.importorskip("torch")
+    from tal_asrd_tpu.diarization.wav2vec import (
+        ConvAggregator,
+        ConvFeatureExtractor,
+        Wav2VecFeatures,
+        convert_fairseq_weights,
+        plan_from_state_dict,
+    )
+
+    rng = np.random.RandomState(0)
+    ext_plan = [(16, 10, 5), (16, 8, 4), (16, 4, 2)]
+    agg_plan = [(16, 3, 1)] * 2
+
+    sd = {}
+    c_in = 1
+    for i, (dim, k, _s) in enumerate(ext_plan):
+        sd[f"feature_extractor.conv_layers.{i}.0.weight"] = (
+            rng.randn(dim, c_in, k).astype(np.float32) * 0.2)
+        sd[f"feature_extractor.conv_layers.{i}.2.weight"] = (
+            1.0 + rng.randn(dim).astype(np.float32) * 0.1)
+        sd[f"feature_extractor.conv_layers.{i}.2.bias"] = (
+            rng.randn(dim).astype(np.float32) * 0.1)
+        c_in = dim
+    for i, (dim, k, _s) in enumerate(agg_plan):
+        sd[f"feature_aggregator.conv_layers.{i}.1.weight"] = (
+            rng.randn(dim, c_in, k).astype(np.float32) * 0.2)
+        sd[f"feature_aggregator.conv_layers.{i}.3.weight"] = (
+            1.0 + rng.randn(dim).astype(np.float32) * 0.1)
+        sd[f"feature_aggregator.conv_layers.{i}.3.bias"] = (
+            rng.randn(dim).astype(np.float32) * 0.1)
+        c_in = dim
+
+    # Plans recovered from the dict itself (strides not recoverable: given)
+    assert plan_from_state_dict(sd, "feature_extractor",
+                                strides=[5, 4, 2]) == ext_plan
+    assert plan_from_state_dict(sd, "feature_aggregator") == agg_plan
+
+    class SmallW2V(Wav2VecFeatures):
+        def setup(self):
+            self.feature_extractor = ConvFeatureExtractor(plan=tuple(ext_plan))
+            self.feature_aggregator = ConvAggregator(plan=tuple(agg_plan))
+
+    model = SmallW2V()
+    audio = rng.randn(2, 1600).astype(np.float32) * 0.1
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(audio))
+    params = convert_fairseq_weights(sd, variables)
+    ours = np.asarray(model.apply({"params": params}, jnp.asarray(audio)))
+
+    # torch reference stack on the same weights
+    x = torch.from_numpy(audio).unsqueeze(1)  # [B, 1, T]
+    for i, (dim, k, s) in enumerate(ext_plan):
+        w = torch.from_numpy(sd[f"feature_extractor.conv_layers.{i}.0.weight"])
+        x = torch.nn.functional.conv1d(x, w, stride=s)
+        g = torch.nn.GroupNorm(1, dim, eps=1e-5)
+        g.weight.data = torch.from_numpy(
+            sd[f"feature_extractor.conv_layers.{i}.2.weight"])
+        g.bias.data = torch.from_numpy(
+            sd[f"feature_extractor.conv_layers.{i}.2.bias"])
+        x = torch.relu(g(x))
+    x = torch.log(torch.abs(x) + 1.0)
+    for i, (dim, k, s) in enumerate(agg_plan):
+        inp = x
+        w = torch.from_numpy(sd[f"feature_aggregator.conv_layers.{i}.1.weight"])
+        x = torch.nn.functional.conv1d(x, w, stride=1, padding=k // 2)
+        g = torch.nn.GroupNorm(1, dim, eps=1e-5)
+        g.weight.data = torch.from_numpy(
+            sd[f"feature_aggregator.conv_layers.{i}.3.weight"])
+        g.bias.data = torch.from_numpy(
+            sd[f"feature_aggregator.conv_layers.{i}.3.bias"])
+        x = torch.relu(g(x))
+        if inp.shape == x.shape:
+            x = x + inp
+    ref = x.detach().numpy().transpose(0, 2, 1)  # [B, T, C]
+
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_wav2vec_converter_rejects_layout_drift():
+    """A state dict missing a norm leaf must fail the shape validation, not
+    silently leave random weights in place."""
+    from tal_asrd_tpu.diarization.wav2vec import (
+        convert_fairseq_weights,
+        init_wav2vec,
+    )
+
+    model, variables = init_wav2vec()
+    sd = {"feature_extractor.conv_layers.0.0.weight":
+          np.zeros((512, 1, 10), np.float32)}
+    with pytest.raises(AssertionError):
+        convert_fairseq_weights(sd, variables)
