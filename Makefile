@@ -3,7 +3,7 @@
 NATIVE_SRCS := native/editdist.cpp native/fastbpe.cpp
 NATIVE_LIBS := native/build/libeditdist.so native/build/libfastbpe.so
 
-.PHONY: all native test test-fast bench clean
+.PHONY: all native test test-fast test-smoke bench accuracy clean
 
 all: native
 
@@ -18,6 +18,18 @@ test: native
 
 test-fast: native
 	python -m pytest tests/ -q -m "not slow"
+
+# Sub-minute sanity tier: pure-host + light-jit modules only (WER/WDER
+# metrics, tokenizers, protobuf importer, utils). Run before every commit.
+test-smoke: native
+	python -m pytest tests/test_eval.py tests/test_wder_search.py \
+	    tests/test_tokenizer.py tests/test_spm_import.py tests/test_misc.py -q
+
+# Self-contained accuracy loop: synthetic-speech corpus -> train on the
+# available accelerator -> unaligned decode -> WER/WDER through the real CLI
+# chain. Tune scale with ACC_EPISODES / ACC_STEPS. See scripts/accuracy.sh.
+accuracy: native
+	bash scripts/accuracy.sh
 
 bench: native
 	python bench.py

@@ -1,0 +1,69 @@
+#!/usr/bin/env bash
+# Self-contained accuracy loop: synthetic-speech corpus -> train -> unaligned
+# decode -> WER/WDER, all through the real CLIs (the reference chain
+# tal/asr/train.py -> tal/asr/test.py --unaligned -> aligned_to_wder_format
+# -> wder_search; BASELINE.md parity surface).
+#
+# The corpus audio ENCODES the text (tal_asrd_tpu/data/synth.py), so the
+# trained model generalizes to held-out episodes and the resulting corpus
+# WER/WDER is a real regression number, not a memorization check.
+#
+# Scale knobs (defaults give a ~1 h run on one TPU v5e chip):
+#   ACC_DIR=accuracy ACC_EPISODES=100 ACC_STEPS=3000 ACC_BATCH=32
+#   ACC_TEST_EPISODES=4 ACC_SPEAKERS=4
+set -euo pipefail
+
+DIR=${ACC_DIR:-accuracy}
+EPISODES=${ACC_EPISODES:-100}
+STEPS=${ACC_STEPS:-3000}
+BATCH=${ACC_BATCH:-32}
+TEST_EPISODES=${ACC_TEST_EPISODES:-4}
+SPEAKERS=${ACC_SPEAKERS:-4}
+NAME=${ACC_NAME:-acc1x}
+
+mkdir -p "$DIR"
+
+if [ ! -f "$DIR/train/transcript.pkl" ]; then
+  python -m tal_asrd_tpu.cli.tools synth-corpus --out-dir "$DIR/train" \
+      --episodes "$EPISODES" --episode-seconds 120 --speakers "$SPEAKERS" --seed 0
+  python -m tal_asrd_tpu.cli.tools synth-corpus --out-dir "$DIR/valid" \
+      --episodes 3 --episode-seconds 120 --speakers "$SPEAKERS" --seed 101
+  python -m tal_asrd_tpu.cli.tools synth-corpus --out-dir "$DIR/test" \
+      --episodes "$TEST_EPISODES" --episode-seconds 180 --speakers "$SPEAKERS" --seed 202
+fi
+
+if [ ! -f "$DIR/bpe.model" ]; then
+  python - "$DIR" <<'PY'
+import sys
+from tal_asrd_tpu.data.synth import corpus_text
+d = sys.argv[1]
+open(f"{d}/train_text.txt", "w").write("\n".join(corpus_text(f"{d}/train")))
+PY
+  python -m tal_asrd_tpu.cli.tools train-tokenizer --input "$DIR/train_text.txt" \
+      --model-prefix "$DIR/bpe" --vocab-size 300
+fi
+
+if [ -z "$(ls "$DIR/ckpts/$NAME"/ckpt_*.msgpack 2>/dev/null)" ]; then
+  python -m tal_asrd_tpu.cli.train \
+      --train-data "$DIR/train" --valid-data "$DIR/valid" \
+      --tokenizer "$DIR/bpe.model" --model-type 1x \
+      --num-speakers "$SPEAKERS" --batch-size "$BATCH" --max-secs 10 \
+      --num-workers 0 --lr 1e-4 --max-epochs 100 --max-steps "$STEPS" \
+      --name "$NAME" --checkpoint-path "$DIR/ckpts" --out-dir "$DIR/out-train"
+fi
+
+# Average the last 3 epoch checkpoints (the reference's avg_last_5.pt flow,
+# tal/utils/average_weights.py:13-29 / transcribe.py:217).
+python -m tal_asrd_tpu.cli.tools average-ckpt \
+    --ckpt-dir "$DIR/ckpts/$NAME" --last-k 3 --out "$DIR/avg_last_3.msgpack"
+
+python -m tal_asrd_tpu.cli.test \
+    --train-data "$DIR/train" --valid-data "$DIR/valid" --test-data "$DIR/test" \
+    --tokenizer "$DIR/bpe.model" --model-type 1x --num-speakers "$SPEAKERS" \
+    --num-workers 0 --unaligned --load "$DIR/avg_last_3.msgpack" \
+    --out-dir "$DIR/out-test"
+
+python -m tal_asrd_tpu.cli.tools wder-format \
+    --test-result "$DIR/out-test/test_result.pkl" --out "$DIR/wder_ready.pkl"
+
+python -m tal_asrd_tpu.cli.wder --eval-file "$DIR/wder_ready.pkl" --workers 1

@@ -57,6 +57,18 @@ def main(argv=None):
                     help="LibriSpeech split dir (speaker/chapter/*.flac|wav + .trans.txt)")
     ls.add_argument("--out-dir", required=True)
 
+    wf = sub.add_parser("wder-format",
+                        help="test_result.pkl -> wder_ready.pkl "
+                             "(aligned_to_wder_format.py:245-434 equivalent)")
+    wf.add_argument("--test-result", required=True)
+    wf.add_argument("--out", required=True)
+    wf.add_argument("--role-map", default=None,
+                    help="optional speaker->role json")
+    wf.add_argument("--sd-features", default=None,
+                    help="optional .npy of separate-SD frame features for "
+                         "attention-weighted speaker embeddings")
+    wf.add_argument("--chunk", type=int, default=357)
+
     sy = sub.add_parser("synth-corpus",
                         help="synthetic-speech TAL-format corpus (audio encodes "
                              "the text; for the self-contained accuracy loop)")
@@ -206,6 +218,25 @@ def main(argv=None):
         with open(os.path.join(args.out_dir, "speaker_map.json"), "w") as f:
             json.dump(speakers, f)
         print(f"wrote {len(transcripts)} episodes to {args.out_dir}")
+
+    elif args.cmd == "wder-format":
+        import json as _json
+        import pickle as _pickle
+
+        from tal_asrd_tpu.eval.convert import convert_results
+
+        with open(args.test_result, "rb") as f:
+            results = _pickle.load(f)
+        role_map = None
+        if args.role_map:
+            with open(args.role_map) as f:
+                role_map = _json.load(f)
+        sd = np.load(args.sd_features) if args.sd_features else None
+        out = convert_results(results, role_map=role_map, sd_features=sd,
+                              chunk=args.chunk)
+        with open(args.out, "wb") as f:
+            _pickle.dump(out, f)
+        print(f"wrote {len(out)} wder-ready pairs to {args.out}")
 
     elif args.cmd == "synth-corpus":
         from tal_asrd_tpu.data.synth import build_synth_corpus

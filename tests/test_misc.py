@@ -80,5 +80,7 @@ def test_step_timer():
     for _ in range(3):
         with t:
             time.sleep(0.01)
-    assert 0.005 < t.mean_s < 0.1
+    # Lower bound only: wall-clock sleeps stretch arbitrarily on a loaded
+    # single-core box, so an upper bound is inherently flaky.
+    assert t.mean_s > 0.005
     assert t.audio_hours_per_hour(30.0) > 0
