@@ -71,6 +71,10 @@ class ModelConfig:
     tds_kernel: int = 21
     tds_dropout: float = 0.2   # reference passes model-level dropout to TDS
     remat: bool = False        # rematerialize encoder blocks in training
+    # Encoder padding-mask scaling: 'buffer' (bucket-safe default) or
+    # 'batch_max' (exact reference parity, models.py:177-187) — see
+    # encoder_padding_mask and tests/test_deviations.py.
+    pad_mask_mode: str = "buffer"
 
     def __post_init__(self):
         if self.model_type not in ("1x", "2x"):

@@ -43,16 +43,26 @@ def _embed_init(dim: int):
     return init
 
 
-def encoder_padding_mask(audio_lens: jax.Array, max_audio_len: int, enc_t: int) -> jax.Array:
+def encoder_padding_mask(audio_lens: jax.Array, max_audio_len: int, enc_t: int,
+                         mode: str = "buffer") -> jax.Array:
     """[B] sample lengths -> [B, enc_t] bool mask, True = padding.
 
-    Reproduces the reference's integer-division scaling
+    mode='buffer' (default): the reference's integer-division scaling
     `scaled_lens = audio_lens // (audio_lens.max() // enc_T)`
     (models.py:177-187) with the batch max replaced by the padded buffer
     length — identical whenever the longest sample fills the buffer, and
     well-defined under bucketed static shapes.
-    """
-    factor = max(max_audio_len // max(enc_t, 1), 1)
+
+    mode='batch_max': exact reference parity — the divisor is derived from
+    the BATCH max length, so when the longest sample underfills the bucket
+    every sample's scaled length grows by max_audio_len/batch_max (the
+    reference always collates to the batch max, so there the two coincide;
+    under bucketed collation they differ — quantified in
+    tests/test_deviations.py and ARCHITECTURE.md)."""
+    if mode == "batch_max":
+        factor = jnp.maximum(jnp.max(audio_lens) // max(enc_t, 1), 1)
+    else:
+        factor = max(max_audio_len // max(enc_t, 1), 1)
     scaled = audio_lens // factor
     pos = jnp.arange(enc_t)
     return pos[None, :] >= scaled[:, None]
@@ -136,7 +146,8 @@ class ASRModel(nn.Module):
         mask = None
         if audio_lens is not None:
             assert max_audio_len is not None
-            mask = encoder_padding_mask(audio_lens, max_audio_len, x.shape[1])
+            mask = encoder_padding_mask(audio_lens, max_audio_len, x.shape[1],
+                                        mode=self.cfg.pad_mask_mode)
         return {"encoder_out": x, "speaker_out": spk_h, "encoder_padding_mask": mask}
 
     def encode(self, audio: jax.Array, audio_lens: Optional[jax.Array] = None,

@@ -40,9 +40,52 @@ def make_mesh(data: int = -1, model: int = 1, devices: Optional[Sequence] = None
     return Mesh(arr, axis_names=("data", "model"))
 
 
+def make_multislice_mesh(
+    dcn: int,
+    data: int = -1,
+    model: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """('dcn', 'data', 'model') mesh for multi-slice pods.
+
+    The outermost 'dcn' axis maps across slices (inter-slice DCN links); the
+    inner axes stay within a slice so TP collectives and the first stage of
+    the gradient reduction ride ICI, and only the final cross-slice
+    all-reduce crosses DCN — the standard hierarchical-DP layout. Batch
+    arrays shard over ('dcn', 'data') jointly (see batch_sharding); params
+    shard over 'model' exactly as on a single slice.
+
+    When real multi-slice hardware is present, devices are ordered
+    slice-major (jax device order already groups by slice via
+    `device.slice_index`); on CPU/virtual meshes the grouping is positional,
+    which exercises identical collective patterns.
+    """
+    if devices is None:
+        devices = jax.devices()
+    devices = list(devices)
+    # Order slice-major when the platform exposes slice indices.
+    if devices and getattr(devices[0], "slice_index", None) is not None:
+        devices.sort(key=lambda d: (d.slice_index, d.id))
+    n = len(devices)
+    assert n % dcn == 0, (n, dcn)
+    per_slice = n // dcn
+    if data == -1:
+        assert per_slice % model == 0, (per_slice, model)
+        data = per_slice // model
+    assert dcn * data * model == n, f"mesh {dcn}x{data}x{model} != {n} devices"
+    arr = np.asarray(devices).reshape(dcn, data, model)
+    return Mesh(arr, axis_names=("dcn", "data", "model"))
+
+
+def _data_axes(mesh: Mesh):
+    """The batch-sharding axis spec for either mesh flavor."""
+    return ("dcn", "data") if "dcn" in mesh.axis_names else "data"
+
+
 def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
-    """Shard the leading (batch) axis over 'data'; replicate the rest."""
-    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+    """Shard the leading (batch) axis over the data axes ('data', plus 'dcn'
+    jointly on a multi-slice mesh); replicate the rest."""
+    return NamedSharding(mesh, P(_data_axes(mesh), *([None] * (ndim - 1))))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
