@@ -1,19 +1,25 @@
 """Benchmark: joint ASR+diarization decode throughput on one chip.
 
-Measures the production inference path — window-batched KV-cached decoding of
-long-form audio with the flagship '2x' joint model (speaker tokens in the
-vocabulary): log-mel frontend + TDS encoder over a batch of 28.5 s windows,
-then fixed-length greedy/beam decode (the realistic token budget for the
-window length; EOS disabled so every window pays the full decode cost).
+Three first-class configurations (VERDICT r1 #3 — bench the reference
+configs, not just the friendly one):
 
-Metric: audio-hours decoded per wall-clock hour per chip
-(`audio_hours_per_hour`). vs_baseline is the multiple of the 50x-real-time
-north-star target (BASELINE.json; the reference never measured throughput —
-its per-step host-synced full-prefix re-decode, system.py:109-219, is the
-implicit baseline this design removes).
+  1. greedy window-batched decode (headline, serving path): log-mel + TDS
+     encode over a batch of 28.5 s windows + fixed-budget greedy KV-cached
+     decode, EOS disabled so every window pays the full token budget;
+  2. beam-5 window-batched decode — the reference's aligned-eval default
+     (tal/asr/args.py:25);
+  3. the unaligned full-episode state machine (system.py:254-524 equivalent)
+     over one long synthetic episode — the long-form product path.
 
-Env overrides: BENCH_BATCH (windows per batch), BENCH_STEPS (decode tokens per
-window), BENCH_BEAM, BENCH_ITERS.
+Plus measured MFU: achieved FLOP/s of the jitted encode+decode against the
+chip's bf16 peak (XLA cost_analysis FLOPs / wall time / PEAK_BF16).
+
+Output: ONE JSON line; `metric`/`value`/`unit`/`vs_baseline` describe the
+headline (config 1); the other configs ride as extra keys.
+
+Env overrides: BENCH_BATCH, BENCH_STEPS, BENCH_BEAM, BENCH_ITERS,
+BENCH_EPISODE_SECS (unaligned episode length), BENCH_SKIP_EXTRAS=1 (headline
+only), BENCH_PEAK_TFLOPS (default 197 = TPU v5e bf16).
 """
 from __future__ import annotations
 
@@ -30,7 +36,33 @@ import jax.numpy as jnp
 
 from tal_asrd_tpu.core.config import ModelConfig
 from tal_asrd_tpu.decode import BeamSearchSpec, beam_search
+from tal_asrd_tpu.decode.unaligned import UnalignedSpec, unaligned_decode
 from tal_asrd_tpu.models import ASRModel
+
+WINDOW_SECS = 28.56  # 357 encoder frames ~ 28.5 s (system.py:658 chunk)
+SR = 16000
+
+
+def _timed(fn, fetch, iters):
+    """Pipelined serving-style timing: dispatch iters calls back-to-back and
+    fence once (block_until_ready does not reliably fence the axon tunnel)."""
+    out = fn()
+    np.asarray(fetch(out))  # warmup + compile fence
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    np.asarray(fetch(out))
+    return (time.perf_counter() - t0) / iters
+
+
+def _flops_of(jitted, *args):
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)) or None
+    except Exception:
+        return None
 
 
 def main():
@@ -38,11 +70,11 @@ def main():
     max_new = int(os.environ.get("BENCH_STEPS", "96"))
     beam = int(os.environ.get("BENCH_BEAM", "1"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
+    episode_secs = float(os.environ.get("BENCH_EPISODE_SECS", "600"))
+    skip_extras = os.environ.get("BENCH_SKIP_EXTRAS", "0") == "1"
+    peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "197")) * 1e12
 
-    window_secs = 28.56  # 357 encoder frames ~ 28.5 s (system.py:658 chunk)
-    sr = 16000
-    t = int(window_secs * sr)
-
+    t = int(WINDOW_SECS * SR)
     cfg = ModelConfig(model_type="2x", num_speakers=64, vocab_size=10000)
     model = ASRModel(cfg, dtype=jnp.bfloat16)
 
@@ -52,46 +84,86 @@ def main():
     y0 = jnp.zeros((batch, 4), jnp.int32)
     variables = model.init({"params": rng}, audio, y0, audio_lens)
 
-    spec = BeamSearchSpec(
-        beam_size=beam,
-        max_new_tokens=max_new,
-        eos_id=-1,  # never fires: every window pays the full token budget
-        vocab_size=cfg.num_tokens,
-        text_vocab_size=cfg.vocab_size,
-        force_output=True,
-    )
+    def make_decode(k):
+        spec = BeamSearchSpec(
+            beam_size=k,
+            max_new_tokens=max_new,
+            eos_id=-1,  # never fires: every window pays the full token budget
+            vocab_size=cfg.num_tokens,
+            text_vocab_size=cfg.vocab_size,
+            force_output=True,
+        )
 
-    @jax.jit
-    def decode(variables, audio, audio_lens):
-        enc = model.apply(variables, audio, audio_lens, False,
-                          method=ASRModel.encode)
-        return beam_search(model, variables, enc, jnp.ones((batch, 1), jnp.int32),
-                           spec)
+        @jax.jit
+        def decode(variables, audio, audio_lens):
+            enc = model.apply(variables, audio, audio_lens, False,
+                              method=ASRModel.encode)
+            return beam_search(model, variables, enc,
+                               jnp.ones((batch, 1), jnp.int32), spec)
 
-    # Warmup/compile. Timing uses an explicit host fetch of the result —
-    # block_until_ready does not reliably fence through the axon tunnel.
-    out = decode(variables, audio, audio_lens)
-    np.asarray(out["tokens"])
+        return decode
 
-    # Serving-style pipelined measurement: dispatch `iters` batches
-    # back-to-back and fence once at the end, amortizing the tunnel's fixed
-    # per-call round-trip (~40 ms) the way a real serving loop keeps batches
-    # in flight.
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = decode(variables, audio, audio_lens)
-    np.asarray(out["tokens"])
-    per_batch = (time.perf_counter() - t0) / iters
+    # ---- 1. headline: greedy window-batched --------------------------------
+    decode1 = make_decode(beam)
+    per_batch = _timed(lambda: decode1(variables, audio, audio_lens),
+                       lambda o: o["tokens"], iters)
+    audio_secs = batch * WINDOW_SECS
+    headline = audio_secs / per_batch  # audio-hours per wall-hour
 
-    audio_seconds = batch * window_secs
-    realtime_x = audio_seconds / per_batch
-    audio_hours_per_hour = realtime_x  # hours of audio per wall hour
+    extras = {}
+
+    # ---- MFU of the headline graph ----------------------------------------
+    flops = _flops_of(decode1, variables, audio, audio_lens)
+    if flops:
+        achieved = flops / per_batch
+        extras["headline_tflops"] = round(achieved / 1e12, 2)
+        extras["headline_mfu_pct"] = round(100.0 * achieved / peak, 2)
+
+    if not skip_extras:
+        # ---- 2. beam-5 aligned decode (reference default) ------------------
+        decode5 = make_decode(5)
+        per_b5 = _timed(lambda: decode5(variables, audio, audio_lens),
+                        lambda o: o["tokens"], max(iters // 3, 2))
+        extras["beam5_audio_hours_per_hour"] = round(audio_secs / per_b5, 2)
+
+        # ---- 3. unaligned full-episode state machine -----------------------
+        ep_t = int(episode_secs * SR)
+        ep_audio = jax.random.normal(jax.random.PRNGKey(1), (1, ep_t),
+                                     jnp.float32) * 0.1
+        ep_lens = jnp.full((1,), ep_t, jnp.int32)
+        spec_u = UnalignedSpec(
+            eos_id=1, chunk_size=357, max_positions=cfg.max_positions,
+            max_tokens=8192, max_iters=int(episode_secs * 6),  # ~6 tok/s budget
+            max_outer=4096,
+        )
+
+        @jax.jit
+        def unaligned(variables, a, l):
+            enc = model.apply(variables, a, l, False, method=ASRModel.encode)
+            n = (
+                (~enc["encoder_padding_mask"][0]).sum()
+                if enc["encoder_padding_mask"] is not None
+                else enc["encoder_out"].shape[1]
+            )
+            return unaligned_decode(model, variables, enc, n, spec_u)
+
+        out = unaligned(variables, ep_audio, ep_lens)
+        int(np.asarray(out["num_tokens"]))  # compile fence
+        t0 = time.perf_counter()
+        out = unaligned(variables, ep_audio, ep_lens)
+        n_tok = int(np.asarray(out["num_tokens"]))
+        wall = time.perf_counter() - t0
+        extras["unaligned_audio_hours_per_hour"] = round(episode_secs / wall, 2)
+        extras["unaligned_episode_secs"] = episode_secs
+        extras["unaligned_tokens"] = n_tok
+        extras["unaligned_iters"] = int(np.asarray(out["iters"]))
 
     print(json.dumps({
         "metric": "joint_decode_audio_hours_per_hour_per_chip",
-        "value": round(audio_hours_per_hour, 2),
+        "value": round(headline, 2),
         "unit": "audio-hours/hour",
-        "vs_baseline": round(audio_hours_per_hour / 50.0, 3),
+        "vs_baseline": round(headline / 50.0, 3),
+        **extras,
     }))
 
 

@@ -271,6 +271,11 @@ class BpeTrainer:
         budget = self.vocab_size - len(SPECIALS) - len(pieces)
 
         corpus = dict(corpus)
+
+        native = _load_train_native()
+        if native is not None and budget > 0 and corpus:
+            return BpeModel(*self._train_native(native, corpus, pieces, budget))
+
         for _ in range(max(budget, 0)):
             pair_freq: Counter = Counter()
             for sym, f in corpus.items():
@@ -300,8 +305,76 @@ class BpeTrainer:
 
         return BpeModel(pieces, merges)
 
+    def _train_native(self, lib, corpus, pieces, budget):
+        """Run the merge loop in native/bpetrain.cpp (bit-compatible with the
+        Python loop below, including Counter insertion-order tie-breaking)."""
+        import numpy as np
+
+        char_id = {c: i for i, c in enumerate(pieces)}
+        seq_lens, flat, freqs = [], [], []
+        for sym, f in corpus.items():
+            seq_lens.append(len(sym))
+            flat.extend(char_id[s] for s in sym)
+            freqs.append(f)
+        seqs = np.asarray(flat, np.int32)
+        lens = np.asarray(seq_lens, np.int32)
+        fr = np.asarray(freqs, np.int64)
+        out = np.zeros((budget * 2,), np.int32)
+        n = lib.bpe_train(
+            seqs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            fr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(lens), len(pieces), budget,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        piece_str = list(pieces)
+        merges: List[Tuple[str, str]] = []
+        for i in range(n):
+            a, b = piece_str[out[2 * i]], piece_str[out[2 * i + 1]]
+            merges.append((a, b))
+            piece_str.append(a + b)
+        return piece_str, merges
+
     def train_file(self, path: str, model_path: str) -> BpeModel:
         with open(path) as f:
             model = self.train(f)
         model.save(model_path)
         return model
+
+
+_train_lib = None
+_TRAIN_SO = os.path.join(_NATIVE_DIR, "build", "libbpetrain.so")
+
+
+def _load_train_native():
+    """Load (building on demand) the C++ trainer; None on failure."""
+    global _train_lib
+    if os.environ.get("TAL_ASRD_NO_NATIVE"):
+        return None
+    with _lib_lock:
+        if _train_lib is not None:
+            return _train_lib
+        src = os.path.join(_NATIVE_DIR, "bpetrain.cpp")
+        if not os.path.exists(_TRAIN_SO) and os.path.exists(src):
+            os.makedirs(os.path.dirname(_TRAIN_SO), exist_ok=True)
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-o", _TRAIN_SO, src],
+                    check=True, capture_output=True,
+                )
+            except Exception:
+                return None
+        if not os.path.exists(_TRAIN_SO):
+            return None
+        try:
+            lib = ctypes.CDLL(_TRAIN_SO)
+        except OSError:
+            return None
+        lib.bpe_train.restype = ctypes.c_int
+        lib.bpe_train.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+        ]
+        _train_lib = lib
+        return _train_lib

@@ -122,3 +122,28 @@ def test_merges_actually_compress(tok):
     # BPE must merge frequent words into few pieces
     ids = tok.encode("the", bos_token=False, eos_token=False)
     assert len(ids) <= 2  # '▁the' should be (nearly) a single piece
+
+
+def test_native_trainer_matches_python():
+    """native/bpetrain.cpp must produce the EXACT merge sequence of the
+    Python trainer (incl. Counter insertion-order tie-breaking)."""
+    import os
+
+    from tal_asrd_tpu.text.bpe import BpeTrainer, _load_train_native
+
+    if _load_train_native() is None:
+        pytest.skip("native trainer unavailable (no g++)")
+    lines = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "sphinx of black quartz judge my vow",
+        "aa ab aa ab ba",  # tie-heavy
+    ] * 7
+    n = BpeTrainer(vocab_size=80).train(lines)
+    os.environ["TAL_ASRD_NO_NATIVE"] = "1"
+    try:
+        p = BpeTrainer(vocab_size=80).train(lines)
+    finally:
+        del os.environ["TAL_ASRD_NO_NATIVE"]
+    assert n.pieces == p.pieces
+    assert n.merges == p.merges
