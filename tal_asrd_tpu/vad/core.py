@@ -37,6 +37,9 @@ class VadConfig:
     vad_level: int = 3           # 0..3, higher = more aggressive (webrtc knob)
     prop_voice_start: float = 0.9
     prop_unvoice_end: float = 0.9
+    # 'energy' = batched XLA detector (fast default); 'gmm' = the native
+    # webrtc-style GMM (native/webrtc_vad.cpp) — the exact-parity path.
+    detector: str = "energy"
 
     @property
     def frame_len(self) -> int:
@@ -82,6 +85,13 @@ def speech_probabilities(audio: jnp.ndarray, cfg: VadConfig = VadConfig()) -> jn
 
 def speech_decisions(audio: jnp.ndarray, cfg: VadConfig = VadConfig()) -> jnp.ndarray:
     """Boolean per-frame decisions; vad_level tightens the threshold."""
+    if cfg.detector == "gmm":
+        from tal_asrd_tpu.vad.webrtc_gmm import decisions as gmm_decisions
+
+        return jnp.asarray(gmm_decisions(
+            np.asarray(audio), cfg.sample_rate, cfg.frame_duration_ms,
+            mode=cfg.vad_level,
+        ))
     probs = speech_probabilities(audio, cfg)
     threshold = 0.3 + 0.1 * cfg.vad_level  # 0.3 .. 0.6
     return probs > threshold

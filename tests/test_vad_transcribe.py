@@ -165,3 +165,95 @@ def test_transcriber_end_to_end():
     tr2 = Transcriber(model, variables, tok, tc2)
     out = tr2.transcribe_array(x)
     assert isinstance(out, str)
+
+
+# ---------------------------------------------------------------------------
+# Native GMM VAD (native/webrtc_vad.cpp)
+# ---------------------------------------------------------------------------
+def _gmm_available():
+    from tal_asrd_tpu.vad.webrtc_gmm import available
+    return available()
+
+
+@pytest.mark.skipif(not _gmm_available(), reason="no g++ / native build failed")
+def test_gmm_vad_discriminates_speech_from_silence():
+    from tal_asrd_tpu.vad.webrtc_gmm import decisions
+
+    sr = 16000
+    rng = np.random.RandomState(0)
+    t = np.arange(sr * 2) / sr
+    # speech-like: glottal-ish harmonic stack with formant envelope + F0
+    # glide + syllabic amplitude modulation (wideband, as real speech is)
+    f0 = 140 + 30 * np.sin(2 * np.pi * 2.5 * t)
+    phase = 2 * np.pi * np.cumsum(f0) / sr
+    speech = np.zeros_like(t)
+    for k in range(1, 22):
+        formant = (np.exp(-((k * 140 - 500) / 400) ** 2)
+                   + 0.7 * np.exp(-((k * 140 - 1500) / 500) ** 2)
+                   + 0.4 * np.exp(-((k * 140 - 2600) / 600) ** 2))
+        speech += (formant / (1 + 0.1 * k)) * np.sin(k * phase)
+    speech *= (0.55 + 0.45 * np.sin(2 * np.pi * 4 * t) ** 2) * 0.25
+    silence = rng.randn(sr * 2).astype(np.float32) * 1e-4
+
+    audio = np.concatenate([silence, speech.astype(np.float32), silence])
+    for mode in range(4):
+        dec = decisions(audio, sr, 30, mode=mode)
+        n = len(dec) // 3
+        frac_speech = dec[n: 2 * n].mean()
+        frac_silence = np.concatenate([dec[: n], dec[2 * n:]]).mean()
+        assert frac_speech > 0.8, (mode, frac_speech)
+        assert frac_silence < 0.5, (mode, frac_silence)
+        assert frac_speech > frac_silence
+
+
+@pytest.mark.skipif(not _gmm_available(), reason="no g++ / native build failed")
+def test_gmm_vad_aggressiveness_monotonic():
+    """Higher modes must be (weakly) more conservative: fewer speech frames
+    on marginal audio."""
+    from tal_asrd_tpu.vad.webrtc_gmm import decisions
+
+    sr = 16000
+    rng = np.random.RandomState(1)
+    t = np.arange(sr * 3) / sr
+    marginal = (0.02 * np.sin(2 * np.pi * 300 * t)
+                + rng.randn(len(t)) * 0.01).astype(np.float32)
+    fracs = [decisions(marginal, sr, 30, mode=m).mean() for m in range(4)]
+    assert all(fracs[i] >= fracs[i + 1] - 1e-9 for i in range(3)), fracs
+
+
+@pytest.mark.skipif(not _gmm_available(), reason="no g++ / native build failed")
+def test_gmm_vad_frame_length_validation():
+    from tal_asrd_tpu.vad.webrtc_gmm import WebRtcGmmVad
+
+    vad = WebRtcGmmVad(mode=1)
+    ok = np.zeros(480, np.int16).tobytes()   # 30 ms @ 16 kHz
+    assert vad.is_speech(ok, 16000) in (True, False)
+    bad = np.zeros(123, np.int16).tobytes()
+    with pytest.raises(AssertionError):
+        vad.is_speech(bad, 16000)
+
+
+@pytest.mark.skipif(not _gmm_available(), reason="no g++ / native build failed")
+def test_gmm_detector_through_pipeline():
+    """VadConfig(detector='gmm') routes the whole collector pipeline through
+    the native GMM decision."""
+    from tal_asrd_tpu.vad.core import VadConfig, speech_bounds
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    # Non-stationary harmonic stack (a stationary tone is correctly absorbed
+    # into the adaptive noise model — webrtc behavior)
+    f0 = 140 + 30 * np.sin(2 * np.pi * 2.5 * t)
+    phase = 2 * np.pi * np.cumsum(f0) / sr
+    speech = sum(np.sin(k * phase) / (1 + 0.2 * k) for k in range(1, 22))
+    speech = speech * (0.55 + 0.45 * np.sin(2 * np.pi * 4 * t) ** 2) * 0.25
+    audio = np.concatenate([
+        np.zeros(sr, np.float32), speech.astype(np.float32),
+        np.zeros(sr, np.float32),
+    ])
+    bounds = speech_bounds(audio, VadConfig(detector="gmm", vad_level=1))
+    assert bounds, "expected at least one speech segment"
+    s, e = bounds[0]
+    # segment overlaps the true speech second [1.0, 2.0); collector padding
+    # makes boundaries fuzzy by ~0.3 s
+    assert s < 2.0 * sr and e > 1.0 * sr
