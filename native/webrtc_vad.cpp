@@ -267,42 +267,65 @@ int16_t NormU32(uint32_t v) {
   return n;
 }
 
+const int16_t kLogConst = 24660;         // 160*log10(2) in Q9
+const int16_t kLogEnergyIntPart = 14336; // 14 in Q10
+const int16_t kMinEnergy = 10;
+
 void LogOfEnergy(const int16_t* in, size_t length, int16_t offset,
                  int16_t* total_energy, int16_t* log_energy) {
-  uint32_t energy = 0;
-  int shifts = 0;
-  // Energy with dynamic scaling (Energy() in the source).
+  // Band energy in dB (10*log10), Q4, as in vad_filterbank.c LogOfEnergy.
+  int tot_rshifts = 0;
+  uint32_t energy;
   {
     int64_t acc = 0;
     for (size_t i = 0; i < length; ++i)
       acc += static_cast<int32_t>(in[i]) * in[i];
     while (acc > 0x7fffffffll) {
       acc >>= 1;
-      ++shifts;
+      ++tot_rshifts;
     }
     energy = static_cast<uint32_t>(acc);
   }
 
   if (energy != 0) {
-    // log2(energy) in Q4: integer part from normalization, 4 fraction bits
-    // straight off the normalized mantissa.
-    int16_t zeros = NormU32(energy);
-    int16_t frac = static_cast<int16_t>(
-        ((energy << zeros) & 0x7FFFFFFF) >> 27);  // 4 fractional bits
-    int16_t log2_energy = static_cast<int16_t>(((31 - zeros) << 4) + frac);
-    *log_energy = log2_energy + static_cast<int16_t>(shifts << 4) + offset;
+    // Normalize |energy| to 15 bits (17 leading zeros of a u32).
+    int zeros = 0;
+    {
+      uint32_t u = energy;
+      while (!(u & 0x80000000u)) { u <<= 1; ++zeros; }
+    }
+    int normalizing_rshifts = 17 - zeros;
+    int16_t log2_energy = kLogEnergyIntPart;  // 14 in Q10
+    tot_rshifts += normalizing_rshifts;
+    if (normalizing_rshifts < 0) {
+      energy <<= -normalizing_rshifts;
+    } else {
+      energy >>= normalizing_rshifts;
+    }
+    // log2 fraction from the 15-bit mantissa: (frac_Q15 >> 4) in Q10.
+    log2_energy += static_cast<int16_t>((energy & 0x00003FFF) >> 4);
+    // dB in Q4: kLogConst(Q9) * log2_energy(Q10) >> 19  +  rshifts * kLogConst >> 9.
+    *log_energy = static_cast<int16_t>(
+        ((kLogConst * log2_energy) >> 19) +
+        ((tot_rshifts * kLogConst) >> 9));
+    if (*log_energy < 0) *log_energy = 0;
   } else {
     *log_energy = offset;
+    return;
   }
 
-  // total_energy accumulates frame energy scaled to Q-14 of int16^2 units
-  // (so kMinEnergy=10 ~ an RMS of ~26 LSB): the low-input short-circuit in
-  // the core rejects near-silence without touching the models.
-  int net = 14 - shifts;
-  int32_t scaled = net >= 0
-      ? static_cast<int32_t>(energy >> net)
-      : sat16(static_cast<int64_t>(energy) << (-net));
-  *total_energy = sat16(*total_energy + scaled);
+  *log_energy += offset;
+
+  // Update |total_energy| (the low-input gate in the core) until it exceeds
+  // kMinEnergy.
+  if (*total_energy <= kMinEnergy) {
+    if (tot_rshifts >= 0) {
+      // energy > kMinEnergy in Q0: push total_energy over the gate.
+      *total_energy += kMinEnergy + 1;
+    } else {
+      *total_energy += static_cast<int16_t>(energy >> -tot_rshifts);
+    }
+  }
 }
 
 // Returns features[6] (Q4 log energies 80-250..2k-4k) + total energy.

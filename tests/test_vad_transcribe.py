@@ -253,7 +253,7 @@ def test_gmm_detector_through_pipeline():
     ])
     bounds = speech_bounds(audio, VadConfig(detector="gmm", vad_level=1))
     assert bounds, "expected at least one speech segment"
-    s, e = bounds[0]
+    s, e = bounds[0]  # seconds
     # segment overlaps the true speech second [1.0, 2.0); collector padding
-    # makes boundaries fuzzy by ~0.3 s
-    assert s < 2.0 * sr and e > 1.0 * sr
+    # and hangover make boundaries fuzzy by ~0.3-0.8 s
+    assert s < 2.0 and e > 1.0, (s, e)
