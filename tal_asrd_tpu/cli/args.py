@@ -47,6 +47,8 @@ def get_argparser(is_train: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--mesh-model", type=int, default=1,
                    help="tensor-parallel mesh axis size")
     if is_train:
+        p.add_argument("--no-specaug", action="store_true", default=False,
+                       help="disable SpecAugment (narrowband/synthetic data)")
         p.add_argument("--name", type=str, required=True)
         p.add_argument("--project", type=str, default="asr")
         p.add_argument("--checkpoint-path", type=str, default="./models/tal-asrd-tpu")

@@ -94,7 +94,11 @@ def main(argv=None):
     train_cfg = type(train_cfg)(**{
         **train_cfg.__dict__, "num_data_shards": mesh.shape["data"],
     })
-    system = ASRSystem(model_cfg, train_cfg)
+    from tal_asrd_tpu.core.config import SpecAugmentConfig
+
+    specaug = (SpecAugmentConfig(num_freq_masks=0, num_time_masks=0)
+               if getattr(args, "no_specaug", False) else SpecAugmentConfig())
+    system = ASRSystem(model_cfg, train_cfg, specaug_cfg=specaug)
 
     train_ds, valid_ds = build_datasets(args, tokenizer)
     coll = BucketedCollater(tokenizer.pad_token_id)
