@@ -147,3 +147,51 @@ def test_native_trainer_matches_python():
         del os.environ["TAL_ASRD_NO_NATIVE"]
     assert n.pieces == p.pieces
     assert n.merges == p.merges
+
+
+def test_gpt2_tokenizer_local_fixture(tmp_path):
+    """Gpt2Tokenizer (tal/asr/tokenizers/transformers.py:11-77 parity) loads
+    from a LOCAL path (no egress) and round-trips; built here from a minimal
+    GPT-2-format vocab.json + merges.txt."""
+    transformers = pytest.importorskip("transformers")
+    import json
+
+    # Minimal GPT-2 byte-level BPE: base bytes + a few merges.
+    # GPT-2 maps bytes to unicode; printable ascii letters map to themselves.
+    from transformers.models.gpt2.tokenization_gpt2 import bytes_to_unicode
+
+    b2u = bytes_to_unicode()
+    vocab = {ch: i for i, ch in enumerate(b2u.values())}
+    nxt = len(vocab)
+    merges = []
+    for pair in [("t", "h"), ("th", "e"), ("h", "e"), ("Ġ", "t"),
+                 ("Ġt", "he")]:
+        merges.append(f"{pair[0]} {pair[1]}")
+        vocab["".join(pair)] = nxt
+        nxt += 1
+    vocab["<|endoftext|>"] = nxt
+    d = tmp_path / "gpt2"
+    d.mkdir()
+    (d / "vocab.json").write_text(json.dumps(vocab))
+    (d / "merges.txt").write_text("#version: 0.2\n" + "\n".join(merges) + "\n")
+    (d / "tokenizer_config.json").write_text(json.dumps({
+        "model_max_length": 1024, "tokenizer_class": "GPT2Tokenizer",
+        "unk_token": "<|endoftext|>", "bos_token": "<|endoftext|>",
+        "eos_token": "<|endoftext|>",
+    }))
+
+    from tal_asrd_tpu.text.gpt2 import Gpt2Tokenizer
+
+    tok = Gpt2Tokenizer(str(d))
+    ids = tok._encode("the theme")
+    assert ids, "empty encoding"
+    # 'the' at word start merges via Ġt + he -> Ġthe only when mid-sentence;
+    # leading 'the' becomes th+e via the (t,h),(th,e) merges
+    assert tok.decode_pieces(ids) == "the theme"
+    # eot/bos ids preserved from the reference (49129)
+    assert tok.eot_token_id == 49129 and tok.bos_token_id == 49129
+    # decode_speakers treats ids >= len(tokenizer) as speaker tokens
+    utts, _ = tok.decode_speakers(
+        ids + [len(tok) + 3, tok.eos_token_id] + ids
+    )
+    assert len(utts) >= 1
