@@ -123,3 +123,41 @@ def test_sharded_async_checkpoint_roundtrip(mesh, tmp_path):
     for leaf, tmpl in zip(jax.tree_util.tree_leaves(restored.params),
                           jax.tree_util.tree_leaves(template.params)):
         assert leaf.sharding.is_equivalent_to(tmpl.sharding, leaf.ndim)
+
+
+def test_window_parallel_sharded_decode(mesh):
+    """Window-batched decode sharded over the data axes matches the
+    unsharded single-device decode bit-for-bit (embarrassingly parallel:
+    replicated params, batch split across chips)."""
+    from tal_asrd_tpu.decode.beam import BeamSearchSpec, beam_search
+    from tal_asrd_tpu.decode.sharded import make_sharded_decode
+    from tal_asrd_tpu.models import ASRModel
+
+    model = ASRModel(TINY, FE, dtype=jnp.float32)
+    b, t = 8, 3200
+    rng = jax.random.PRNGKey(0)
+    audio = jax.random.normal(rng, (b, t)) * 0.1
+    lens = jnp.full((b,), t, jnp.int32)
+    prime = jnp.ones((b, 1), jnp.int32)
+    variables = model.init({"params": jax.random.PRNGKey(1)}, audio,
+                           jnp.zeros((b, 4), jnp.int32), lens)
+    variables = jax.tree_util.tree_map(
+        lambda x: x + 0.3 if x.ndim == 0 else x, variables)
+
+    spec = BeamSearchSpec(
+        beam_size=2, max_new_tokens=8, eos_id=1,
+        vocab_size=TINY.num_tokens, text_vocab_size=TINY.vocab_size,
+        force_output=True,
+    )
+    sharded = make_sharded_decode(model, spec, mesh)
+    out_sh = sharded(variables, audio, lens, prime)
+
+    enc = model.apply(variables, audio, lens, False, method=ASRModel.encode)
+    out_ref = beam_search(model, variables, enc, prime, spec)
+
+    np.testing.assert_array_equal(
+        np.asarray(out_sh["tokens"]), np.asarray(out_ref["tokens"]))
+    np.testing.assert_array_equal(
+        np.asarray(out_sh["lengths"]), np.asarray(out_ref["lengths"]))
+    # outputs really are sharded over the data axes
+    assert not out_sh["tokens"].sharding.is_fully_replicated
