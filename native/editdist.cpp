@@ -17,9 +17,12 @@
 // op: 0=equal 1=replace 2=delete(a only) 3=insert(b only).
 //
 // Tie-breaking is fixed and documented: diagonal (match/substitute) is
-// preferred over deletion, deletion over insertion — the same preference the
-// Python fallback (tal_asrd_tpu/eval/editdist.py) implements, so both give
-// identical opcode streams.
+// preferred, then insertion, then deletion — the preference order of the
+// pypi `edit_distance` package's lowest_cost_action, whose opcodes the
+// reference consumes (tal/wder.py:198). The Python fallback
+// (tal_asrd_tpu/eval/editdist.py) implements the same order, so both give
+// identical opcode streams. Bit-parity vs the actual package is staged in
+// tests/fixtures/generate_fixtures.py (package unavailable here).
 //
 // Build: g++ -O3 -shared -fPIC -o libeditdist.so editdist.cpp
 
@@ -91,7 +94,12 @@ void align_small(const int32_t* a, int64_t n, const int32_t* b, int64_t m,
       C(i, j) = std::min(sub, std::min(del, ins));
     }
   }
-  // Backtrace from (n, m): tie preference diag > delete > insert.
+  // Backtrace from (n, m): tie preference diag > insert > delete — the
+  // preference order of the pypi `edit_distance` package's
+  // lowest_cost_action (the reference consumes its opcodes, tal/wder.py:198):
+  // substitution/equal whenever the diagonal ties for the minimum, else
+  // insert whenever it ties, else delete. (Its match-count tiebreak clauses
+  // are vacuous: best_match_count is still -1 when the insert branch tests.)
   vector<char> rev;
   int64_t i = n, j = m;
   while (i > 0 || j > 0) {
@@ -99,12 +107,12 @@ void align_small(const int32_t* a, int64_t n, const int32_t* b, int64_t m,
         C(i, j) == C(i - 1, j - 1) + (a[i - 1] == b[j - 1] ? 0 : 1)) {
       rev.push_back(a[i - 1] == b[j - 1] ? 'M' : 'S');
       --i; --j;
-    } else if (i > 0 && C(i, j) == C(i - 1, j) + 1) {
-      rev.push_back('D');
-      --i;
-    } else {
+    } else if (j > 0 && C(i, j) == C(i, j - 1) + 1) {
       rev.push_back('I');
       --j;
+    } else {
+      rev.push_back('D');
+      --i;
     }
   }
   ops.insert(ops.end(), rev.rbegin(), rev.rend());

@@ -79,7 +79,8 @@ def intern_symbols(*seqs: Sequence[Hashable]) -> List[np.ndarray]:
 
 
 # ---------------------------------------------------------------------------
-# Pure-Python fallback (same diag > delete > insert tie-breaking)
+# Pure-Python fallback (same diag > insert > delete tie-breaking — the pypi
+# edit_distance package's lowest_cost_action order, tal/wder.py:198)
 # ---------------------------------------------------------------------------
 
 def _py_distance(a: np.ndarray, b: np.ndarray) -> int:
@@ -113,12 +114,12 @@ def _py_opcodes(a: np.ndarray, b: np.ndarray):
         if i > 0 and j > 0 and cost[i, j] == cost[i - 1, j - 1] + (a[i - 1] != b[j - 1]):
             ops.append("M" if a[i - 1] == b[j - 1] else "S")
             i, j = i - 1, j - 1
-        elif i > 0 and cost[i, j] == cost[i - 1, j] + 1:
-            ops.append("D")
-            i -= 1
-        else:
+        elif j > 0 and cost[i, j] == cost[i, j - 1] + 1:
             ops.append("I")
             j -= 1
+        else:
+            ops.append("D")
+            i -= 1
     ops.reverse()
     # compress runs
     out = []

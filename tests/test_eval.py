@@ -230,3 +230,15 @@ def test_cluster_fn_in_wder_pipeline():
         cluster_fn=make_cluster_fn("agglomerative", n_clusters=2),
     )
     assert n == 2
+
+
+def test_opcode_tie_break_is_diag_insert_delete():
+    """Pin the tie-break order to the pypi edit_distance package's
+    lowest_cost_action preference (diag > insert > delete, tal/wder.py:198):
+    'aba' vs 'bab' must backtrace-prefer INSERT at the tail tie, yielding
+    delete, equal x2, insert — NOT the reversed insert-first path."""
+    ops = opcodes(list("aba"), list("bab"))
+    names = []
+    for op, a0, a1, b0, b1 in ops:
+        names += [op] * max(a1 - a0, b1 - b0)
+    assert names == ["delete", "equal", "equal", "insert"], names
