@@ -49,6 +49,12 @@ def get_argparser(is_train: bool = False) -> argparse.ArgumentParser:
     if is_train:
         p.add_argument("--no-specaug", action="store_true", default=False,
                        help="disable SpecAugment (narrowband/synthetic data)")
+        p.add_argument("--audio-int16", action="store_true", default=False,
+                       help="ship audio to the device as int16 (half the "
+                            "transfer; lossless for 16-bit PCM sources)")
+        p.add_argument("--cache-items", action="store_true", default=False,
+                       help="cache decoded dataset items in RAM (small "
+                            "corpora; removes the host IO bottleneck)")
         p.add_argument("--name", type=str, required=True)
         p.add_argument("--project", type=str, default="asr")
         p.add_argument("--checkpoint-path", type=str, default="./models/tal-asrd-tpu")

@@ -61,6 +61,7 @@ def build_datasets(args, tokenizer):
             p, tokenizer, num_utterances=1, max_segment_duration=args.max_secs,
             speaker_map_loc=os.path.join(p, "speaker_map.json"),
             tokenizer_speakers=tokenizer_speakers, return_spk_ids=True,
+            cache_items=getattr(args, "cache_items", False),
         ))
         if args.shiftaug or args.alignaug:
             train_parts.append(SegmentDataset(
@@ -75,6 +76,7 @@ def build_datasets(args, tokenizer):
             p, tokenizer, num_utterances=1, max_segment_duration=args.max_secs,
             speaker_map_loc=os.path.join(p, "speaker_map.json"),
             tokenizer_speakers=tokenizer_speakers, return_spk_ids=True,
+            cache_items=getattr(args, "cache_items", False),
         )
         for p in args.valid_data
     ]
@@ -101,7 +103,8 @@ def main(argv=None):
     system = ASRSystem(model_cfg, train_cfg, specaug_cfg=specaug)
 
     train_ds, valid_ds = build_datasets(args, tokenizer)
-    coll = BucketedCollater(tokenizer.pad_token_id)
+    coll = BucketedCollater(tokenizer.pad_token_id,
+                            audio_int16=getattr(args, "audio_int16", False))
     train_loader = DataLoader(
         train_ds, args.batch_size, coll,
         ShardedSampler(len(train_ds), shuffle=True), args.num_workers,

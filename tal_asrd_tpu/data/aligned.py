@@ -33,6 +33,7 @@ class AlignedDataset:
         tokenizer_speakers: bool = False,
         return_spk_ids: bool = False,
         sample_rate: int = DEFAULT_SR,
+        cache_items: bool = False,
     ):
         self.data_dir = data_dir
         self.ext = ext
@@ -41,6 +42,10 @@ class AlignedDataset:
         self.tokenizer_speakers = tokenizer_speakers
         self.return_spk_ids = return_spk_ids
         self.sample_rate = sample_rate
+        # In-RAM item cache (the reference's load_audio_segment keeps a
+        # hash-keyed tensor cache, data/util.py:18-53); pays off from epoch 2
+        # when the host is the bottleneck (single-core boxes).
+        self._cache = {} if cache_items else None
 
         speaker_map = load_speaker_map(speaker_map_loc) if speaker_map_loc else None
         self.speaker_ids = SpeakerIds(
@@ -64,6 +69,8 @@ class AlignedDataset:
         return len(self.index)
 
     def __getitem__(self, i: int):
+        if self._cache is not None and i in self._cache:
+            return self._cache[i]
         stub, utterances = self.index[i]
         tokens, spk_ids = tokenize_utterances(
             utterances,
@@ -85,4 +92,8 @@ class AlignedDataset:
         assert len(tokens) > 1
         if spk_ids is None:
             spk_ids = [0] * len(tokens)
-        return wav, np.asarray(tokens, np.int32), np.asarray(spk_ids, np.int32), i
+        item = (wav, np.asarray(tokens, np.int32),
+                np.asarray(spk_ids, np.int32), i)
+        if self._cache is not None:
+            self._cache[i] = item
+        return item

@@ -35,11 +35,15 @@ class BucketedCollater:
         text_buckets: Sequence[int] = (32, 64, 128, 256),
         sample_rate: int = DEFAULT_SR,
         truncate_to_bucket: bool = True,
+        audio_int16: bool = False,
     ):
         self.pad_id = pad_id
         self.audio_buckets = [int(s * sample_rate) for s in audio_bucket_seconds]
         self.text_buckets = list(text_buckets)
         self.truncate = truncate_to_bucket
+        # int16 audio halves host->device transfer; the model rescales
+        # on-device (lossless for 16-bit-PCM-sourced wavs).
+        self.audio_int16 = audio_int16
 
     def __call__(self, samples: List[Tuple]) -> Dict[str, np.ndarray]:
         wavs, texts, spks, idxs = zip(*samples)
@@ -50,7 +54,8 @@ class BucketedCollater:
         l_max = max(len(t) for t in texts)
         l_bucket = pick_bucket(l_max, self.text_buckets)
 
-        audio = np.zeros((b, t_bucket), np.float32)
+        audio = np.zeros((b, t_bucket),
+                         np.int16 if self.audio_int16 else np.float32)
         audio_lens = np.zeros((b,), np.int32)
         text = np.full((b, l_bucket), self.pad_id, np.int32)
         text_mask = np.zeros((b, l_bucket), bool)
@@ -59,7 +64,11 @@ class BucketedCollater:
         for i, (w, t, s) in enumerate(zip(wavs, texts, spks)):
             wlen = min(len(w), t_bucket) if self.truncate else len(w)
             tlen = min(len(t), l_bucket) if self.truncate else len(t)
-            audio[i, :wlen] = w[:wlen]
+            audio[i, :wlen] = (
+                np.clip(np.rint(w[:wlen] * 32768.0), -32768, 32767)
+                .astype(np.int16)
+                if self.audio_int16 else w[:wlen]
+            )
             audio_lens[i] = wlen
             text[i, :tlen] = t[:tlen]
             text_mask[i, :tlen] = True
@@ -86,11 +95,16 @@ class SDCollater:
         wavs, sids, idxs = zip(*samples)
         b = len(wavs)
         t_bucket = pick_bucket(max(len(w) for w in wavs), self.audio_buckets)
-        audio = np.zeros((b, t_bucket), np.float32)
+        audio = np.zeros((b, t_bucket),
+                         np.int16 if self.audio_int16 else np.float32)
         audio_lens = np.zeros((b,), np.int32)
         for i, w in enumerate(wavs):
             wlen = min(len(w), t_bucket)
-            audio[i, :wlen] = w[:wlen]
+            audio[i, :wlen] = (
+                np.clip(np.rint(w[:wlen] * 32768.0), -32768, 32767)
+                .astype(np.int16)
+                if self.audio_int16 else w[:wlen]
+            )
             audio_lens[i] = wlen
         return {
             "audio": audio,

@@ -128,7 +128,12 @@ class ASRModel(nn.Module):
     # Encoder side
     # ------------------------------------------------------------------
     def extract_features(self, audio: jax.Array, train: bool = False, use_specaug: bool = True):
-        """Raw audio [B, T] -> log-mel [B, F, n_mels] (models.py:154-162)."""
+        """Raw audio [B, T] -> log-mel [B, F, n_mels] (models.py:154-162).
+
+        int16 input is accepted and scaled on-device (halves host->device
+        transfer; wavs are 16-bit PCM at the source, so it is lossless)."""
+        if audio.dtype == jnp.int16:
+            audio = audio.astype(jnp.float32) / 32768.0
         mel = log_mel_spectrogram(audio.astype(jnp.float32), self.frontend)
         if train and use_specaug:
             mel = spec_augment(self.make_rng("specaug"), mel, self.specaug)

@@ -202,3 +202,23 @@ def test_dataloader_batches(corpus):
     assert len(batches) == len(ds) // 4
     for b in batches:
         assert b["audio"].shape[0] == 4
+
+
+def test_collater_int16_roundtrip_lossless():
+    """audio_int16=True + the model's on-device /32768 rescale is bit-exact
+    for wav-sourced audio (16-bit PCM -> float/32768 -> int16 -> float)."""
+    import numpy as np
+    from tal_asrd_tpu.data.collate import BucketedCollater
+
+    rng = np.random.RandomState(0)
+    pcm = rng.randint(-32768, 32768, 16000).astype(np.int16)
+    w = pcm.astype(np.float32) / 32768.0  # what load_audio_segment yields
+    item = (w, np.array([1, 2, 3], np.int32), np.array([0, 0, 0], np.int32), 0)
+    c16 = BucketedCollater(0, audio_bucket_seconds=(1,), text_buckets=(8,),
+                           audio_int16=True)
+    b = c16([item])
+    assert b["audio"].dtype == np.int16
+    np.testing.assert_array_equal(b["audio"][0, :16000], pcm)
+    # on-device rescale reproduces the float input exactly
+    np.testing.assert_array_equal(
+        b["audio"][0, :16000].astype(np.float32) / 32768.0, w)
