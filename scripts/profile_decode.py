@@ -1,0 +1,124 @@
+"""Profile the decode path on the real chip: where does the time go?
+
+Splits the bench graph into (encode) and (decode loop) jits, times each at
+several batch sizes, reports achieved TFLOP/s + MFU per stage (XLA
+cost_analysis FLOPs), and optionally captures a jax.profiler trace.
+
+    python scripts/profile_decode.py [--trace out/trace] [--batches 32,64,128]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tal_asrd_tpu.core.config import ModelConfig
+from tal_asrd_tpu.decode import BeamSearchSpec, beam_search
+from tal_asrd_tpu.models import ASRModel
+
+WINDOW_SECS = 28.56
+SR = 16000
+PEAK = float(os.environ.get("BENCH_PEAK_TFLOPS", "197")) * 1e12
+
+
+def timed(fn, fetch, iters=8):
+    out = fn()
+    np.asarray(fetch(out))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    np.asarray(fetch(out))
+    return (time.perf_counter() - t0) / iters
+
+
+def flops_of(jitted, *args):
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", default="32,64,128")
+    ap.add_argument("--steps", type=int, default=96)
+    ap.add_argument("--trace", default=None)
+    ap.add_argument("--beam", type=int, default=1)
+    args = ap.parse_args()
+
+    t = int(WINDOW_SECS * SR)
+    cfg = ModelConfig(model_type="2x", num_speakers=64, vocab_size=10000)
+    model = ASRModel(cfg, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+
+    report = {}
+    for batch in [int(b) for b in args.batches.split(",")]:
+        audio = jax.random.normal(rng, (batch, t), jnp.float32) * 0.1
+        lens = jnp.full((batch,), t, jnp.int32)
+        variables = model.init({"params": rng}, audio,
+                               jnp.zeros((batch, 4), jnp.int32), lens)
+        spec = BeamSearchSpec(
+            beam_size=args.beam, max_new_tokens=args.steps, eos_id=-1,
+            vocab_size=cfg.num_tokens, text_vocab_size=cfg.vocab_size,
+            force_output=True,
+        )
+
+        @jax.jit
+        def encode(variables, audio, lens):
+            return model.apply(variables, audio, lens, False,
+                               method=ASRModel.encode)
+
+        @jax.jit
+        def decode_only(variables, enc, prime):
+            return beam_search(model, variables, enc, prime, spec)
+
+        prime = jnp.ones((batch, 1), jnp.int32)
+        enc = encode(variables, audio, lens)
+        jax.tree_util.tree_map(
+            lambda x: np.asarray(x) if x is not None else None, enc)
+
+        t_enc = timed(lambda: encode(variables, audio, lens),
+                      lambda o: o["encoder_out"])
+        t_dec = timed(lambda: decode_only(variables, enc, prime),
+                      lambda o: o["tokens"])
+
+        f_enc = flops_of(encode, variables, audio, lens)
+        f_dec = flops_of(decode_only, variables, enc, prime)
+        row = {
+            "encode_ms": round(t_enc * 1e3, 1),
+            "decode_ms": round(t_dec * 1e3, 1),
+            "audio_hours_per_hour": round(
+                batch * WINDOW_SECS / (t_enc + t_dec), 1),
+        }
+        if f_enc:
+            row["encode_tflops"] = round(f_enc / t_enc / 1e12, 2)
+            row["encode_mfu_pct"] = round(100 * f_enc / t_enc / PEAK, 2)
+        if f_dec:
+            row["decode_tflops"] = round(f_dec / t_dec / 1e12, 2)
+            row["decode_mfu_pct"] = round(100 * f_dec / t_dec / PEAK, 2)
+        report[f"batch_{batch}"] = row
+        print(json.dumps({f"batch_{batch}": row}))
+
+        if args.trace and batch == 32:
+            os.makedirs(args.trace, exist_ok=True)
+            with jax.profiler.trace(args.trace):
+                out = decode_only(variables, enc, prime)
+                np.asarray(out["tokens"])
+            print(f"trace written to {args.trace}")
+
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

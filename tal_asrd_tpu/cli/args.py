@@ -52,6 +52,9 @@ def get_argparser(is_train: bool = False) -> argparse.ArgumentParser:
         p.add_argument("--audio-int16", action="store_true", default=False,
                        help="ship audio to the device as int16 (half the "
                             "transfer; lossless for 16-bit PCM sources)")
+        p.add_argument("--ckpt-every", type=int, default=1,
+                       help="checkpoint every N epochs (per-epoch = reference"
+                            " Lightning behavior)")
         p.add_argument("--cache-items", action="store_true", default=False,
                        help="cache decoded dataset items in RAM (small "
                             "corpora; removes the host IO bottleneck)")

@@ -146,6 +146,7 @@ def main(argv=None):
             quick_test=args.quick_test,
             overfit_pct=args.overfit_pct,
             val_check_interval=args.val_check_interval,
+            ckpt_every=getattr(args, "ckpt_every", 1),
             checkpoint_dir=os.path.join(args.checkpoint_path, args.name),
         ),
         mesh=mesh,

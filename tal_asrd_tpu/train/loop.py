@@ -31,6 +31,7 @@ class TrainerConfig:
     checkpoint_dir: str = "./checkpoints"
     keep_all: bool = True
     log_every: int = 50
+    ckpt_every: int = 1          # checkpoint every N epochs (last epoch always)
 
 
 class Trainer:
@@ -97,9 +98,11 @@ class Trainer:
                     self.generation_hook(state, step, self.logger)
                 except Exception as e:  # spot check must never kill training
                     print(f"[trainer] generation hook failed: {e}")
-            self.ckpt.save(step, jax.device_get(state.params),
-                           extra={"epoch": epoch, "val_loss": val_loss})
-            self.ckpt.save_state(step, jax.device_get(state))
+            last_epoch = stop or epoch == cfg.max_epochs - 1
+            if (epoch + 1) % cfg.ckpt_every == 0 or last_epoch:
+                self.ckpt.save(step, jax.device_get(state.params),
+                               extra={"epoch": epoch, "val_loss": val_loss})
+                self.ckpt.save_state(step, jax.device_get(state))
             self.logger.log_metrics(
                 {"epoch_time_s": time.time() - t_epoch, "val_loss": val_loss},
                 step=step,
