@@ -28,7 +28,10 @@ import numpy as np
 from tal_asrd_tpu.data.audio_io import write_wav
 
 SR = 16000
-CHAR_SECONDS = 0.06
+# 120 ms per character: the TDS encoder outputs one frame per 80 ms of audio
+# (stride 8 over 10 ms hops), so each character spans ~1.5 encoder frames —
+# recoverable. (At 60 ms a character is SUB-frame and gets blended away.)
+CHAR_SECONDS = 0.12
 WORD_GAP_SECONDS = 0.04
 UTT_GAP_SECONDS = 0.25
 
@@ -102,8 +105,8 @@ def render_utterance(text: str, speaker_idx: int, rng: np.random.RandomState,
     return np.concatenate(parts[:-1]) if parts else np.zeros(0, np.float32)
 
 
-def random_sentence(rng: np.random.RandomState, min_words: int = 11,
-                    max_words: int = 28) -> str:
+def random_sentence(rng: np.random.RandomState, min_words: int = 6,
+                    max_words: int = 15) -> str:
     """Defaults give ~3.5-9 s utterances at the render rate — inside the
     reference pipeline's (3 s, max_secs) duration-pruning window
     (tal/asr/data/aligned.py:64-73)."""
