@@ -158,6 +158,18 @@ def main():
         extras["unaligned_tokens"] = n_tok
         extras["unaligned_iters"] = int(np.asarray(out["iters"]))
 
+    # ---- standing accuracy regression numbers (scripts/accuracy.sh) --------
+    root = os.path.dirname(os.path.abspath(__file__))
+    acc_metrics = os.environ.get(
+        "ACC_METRICS", os.path.join(root, "accuracy", "metrics.json"))
+    if not os.path.exists(acc_metrics):
+        acc_metrics = os.path.join(root, "ACCURACY.json")
+    if os.path.exists(acc_metrics):
+        with open(acc_metrics) as f:
+            acc = json.load(f)
+        extras["accuracy_wer_pct"] = acc.get("wer_pct")
+        extras["accuracy_wder_pct"] = acc.get("wder_pct")
+
     print(json.dumps({
         "metric": "joint_decode_audio_hours_per_hour_per_chip",
         "value": round(headline, 2),

@@ -67,3 +67,18 @@ python -m tal_asrd_tpu.cli.tools wder-format \
     --test-result "$DIR/out-test/test_result.pkl" --out "$DIR/wder_ready.pkl"
 
 python -m tal_asrd_tpu.cli.wder --eval-file "$DIR/wder_ready.pkl" --workers 1
+
+# Summarize the dumped metrics pickle into metrics.json; bench.py folds these
+# into its JSON line (standing WER/WDER regression number, VERDICT r1 #1).
+python - "$DIR" <<'PY'
+import json, pickle, sys
+d = sys.argv[1]
+out = pickle.load(open(f"{d}/wder_ready-wder.pkl", "rb"))
+json.dump(
+    {"wer_pct": round(100 * out[5], 3), "wder_pct": round(100 * out[2], 3),
+     "segments": len(out[3])},
+    open(f"{d}/metrics.json", "w"))
+print(f"accuracy metrics -> {d}/metrics.json")
+PY
+# Tracked copy at the repo root (accuracy/ itself is gitignored).
+cp "$DIR/metrics.json" "$(dirname "$0")/../ACCURACY.json"
