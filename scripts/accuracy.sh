@@ -20,6 +20,9 @@ BATCH=${ACC_BATCH:-32}
 TEST_EPISODES=${ACC_TEST_EPISODES:-4}
 SPEAKERS=${ACC_SPEAKERS:-4}
 NAME=${ACC_NAME:-acc1x}
+LR=${ACC_LR:-4e-4}
+LOAD=${ACC_LOAD:-}   # optional warm-start params checkpoint
+CKPT_EVERY=${ACC_CKPT_EVERY:-5}   # epoch-ckpt I/O dominates small-corpus epochs
 
 mkdir -p "$DIR"
 
@@ -48,7 +51,8 @@ if [ -z "$(ls "$DIR/ckpts/$NAME"/ckpt_*.msgpack 2>/dev/null)" ]; then
       --train-data "$DIR/train" --valid-data "$DIR/valid" \
       --tokenizer "$DIR/bpe.model" --model-type 1x \
       --num-speakers "$SPEAKERS" --batch-size "$BATCH" --max-secs 10 \
-      --num-workers 0 --lr 1e-4 --max-epochs 100 --max-steps "$STEPS" \
+      --num-workers 0 --lr "$LR" --max-epochs 100 --max-steps "$STEPS" \
+      --ckpt-every "$CKPT_EVERY" ${LOAD:+--load "$LOAD"} \
       --name "$NAME" --checkpoint-path "$DIR/ckpts" --out-dir "$DIR/out-train"
 fi
 
