@@ -55,6 +55,11 @@ def get_argparser(is_train: bool = False) -> argparse.ArgumentParser:
         p.add_argument("--ckpt-every", type=int, default=1,
                        help="checkpoint every N epochs (per-epoch = reference"
                             " Lightning behavior)")
+        p.add_argument("--state-ckpt", choices=["last", "every"],
+                       default="last",
+                       help="write the full resume state (opt moments) only "
+                            "on the final epoch ('last', 3x less device->host "
+                            "traffic per ckpt) or on every ckpt epoch")
         p.add_argument("--cache-items", action="store_true", default=False,
                        help="cache decoded dataset items in RAM (small "
                             "corpora; removes the host IO bottleneck)")

@@ -147,6 +147,7 @@ def main(argv=None):
             overfit_pct=args.overfit_pct,
             val_check_interval=args.val_check_interval,
             ckpt_every=getattr(args, "ckpt_every", 1),
+            state_ckpt=getattr(args, "state_ckpt", "last"),
             checkpoint_dir=os.path.join(args.checkpoint_path, args.name),
         ),
         mesh=mesh,
