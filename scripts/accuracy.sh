@@ -46,6 +46,10 @@ PY
       --model-prefix "$DIR/bpe" --vocab-size 300
 fi
 
+# --no-specaug: SpecAugment's freq/time masks delete the ONLY discriminative
+# bins of the zero-redundancy synthetic tone cipher (a 1 s time mask erases
+# ~8 characters whose tokens remain as targets) -> an irreducible loss floor
+# (~3.8 measured). Natural-speech corpora should keep it on.
 if [ -z "$(ls "$DIR/ckpts/$NAME"/ckpt_*.msgpack 2>/dev/null)" ]; then
   python -m tal_asrd_tpu.cli.train \
       --train-data "$DIR/train" --valid-data "$DIR/valid" \
@@ -53,6 +57,7 @@ if [ -z "$(ls "$DIR/ckpts/$NAME"/ckpt_*.msgpack 2>/dev/null)" ]; then
       --num-speakers "$SPEAKERS" --batch-size "$BATCH" --max-secs 10 \
       --num-workers 0 --lr "$LR" --max-epochs 100 --max-steps "$STEPS" \
       --ckpt-every "$CKPT_EVERY" ${LOAD:+--load "$LOAD"} \
+      --no-specaug \
       --name "$NAME" --checkpoint-path "$DIR/ckpts" --out-dir "$DIR/out-train"
 fi
 
