@@ -71,7 +71,13 @@ def _char_freq(ch: str) -> float:
 def render_word(word: str, speaker_idx: int, rng: np.random.RandomState,
                 sr: int = SR) -> np.ndarray:
     """Render one word: per-character tones + speaker hum/formant scale."""
-    f_scale = 1.0 + 0.04 * speaker_idx          # speaker timbre
+    # Speaker timbre. The per-speaker scale step must stay well under the
+    # per-character ratio step (2^(1/7) ~ 10.4%, _char_freq): at the old 4%
+    # step, speaker 3's character i landed on speaker 0's character i+1
+    # (1.12 vs 1.104) — character identity was ambiguous without de-aliasing
+    # by speaker, which plateaued training. 1% keeps timbre learnable (the
+    # hum still separates speakers) without tone aliasing.
+    f_scale = 1.0 + 0.01 * speaker_idx
     hum_f = 90.0 + 25.0 * speaker_idx           # speaker fundamental
     n_char = int(CHAR_SECONDS * sr)
     t = np.arange(n_char) / sr
