@@ -58,8 +58,14 @@ def convert_to_wder_format(
     """Utterances -> [(word, relative speaker id)] (wder.py:83-147).
 
     Inputs may be (text, speaker_id), (text, (embedding, speaker_id)) or
-    (text, embedding).
+    (text, embedding), each optionally carrying trailing fields (e.g. the
+    role emitted by the test_result converter, aligned_to_wder_format.py:
+    34-41). The reference's own wder.py:109 unpacks strict 2-tuples and
+    crashes on its sibling converter's 3-tuple output (an upstream API
+    drift); trailing fields are stripped here instead.
     """
+    if speaker_utterances and len(speaker_utterances[0]) > 2:
+        speaker_utterances = [(u[0], u[1]) for u in speaker_utterances]
     to_cluster = True
     if wer_only:
         to_cluster = False

@@ -118,6 +118,21 @@ def test_convert_to_wder_format_fills_none():
     assert n == 1
 
 
+def test_convert_to_wder_format_strips_trailing_role():
+    # aligned_to_wder_format emits (text, speaker, role) 3-tuples (reference
+    # aligned_to_wder_format.py:34-41); the role must be ignored, for both
+    # the ref str-speaker and the hyp (embedding, speaker_id) forms.
+    ref = [("hello world", "jane doe", "host"), ("goodbye", "ira", "subject")]
+    pairs, n = convert_to_wder_format(ref, wer_only=False)
+    assert pairs == [("hello", 0), ("world", 0), ("goodbye", 1)]
+    assert n == 2
+    hyp = [("hello", (None, 2), "host"), ("bye", (None, 5), "subject")]
+    pairs, n = convert_to_wder_format(hyp, wer_only=False,
+                                      should_cluster=False)
+    assert pairs == [("hello", 0), ("bye", 1)]
+    assert n == 2
+
+
 def test_calculate_wder_hand_fixture():
     # All words equal; hyp collapses two speakers into one -> WDER 0.5
     ref = [("a", 0), ("b", 0), ("c", 1), ("d", 1)]
