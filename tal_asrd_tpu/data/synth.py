@@ -28,10 +28,12 @@ import numpy as np
 from tal_asrd_tpu.data.audio_io import write_wav
 
 SR = 16000
-# 120 ms per character: the TDS encoder outputs one frame per 80 ms of audio
-# (stride 8 over 10 ms hops), so each character spans ~1.5 encoder frames —
-# recoverable. (At 60 ms a character is SUB-frame and gets blended away.)
-CHAR_SECONDS = 0.12
+# 180 ms per character: the TDS encoder outputs one frame per 80 ms of audio
+# (stride 8 over 10 ms hops), so each character spans ~2.25 encoder frames.
+# (At 60 ms a character is SUB-frame and gets blended away; 120 ms = 1.5
+# frames trained but converged slowly — boundary phase relative to the
+# stride-8 grid leaves barely one clean frame per character.)
+CHAR_SECONDS = 0.18
 WORD_GAP_SECONDS = 0.04
 UTT_GAP_SECONDS = 0.25
 
@@ -111,11 +113,11 @@ def render_utterance(text: str, speaker_idx: int, rng: np.random.RandomState,
     return np.concatenate(parts[:-1]) if parts else np.zeros(0, np.float32)
 
 
-def random_sentence(rng: np.random.RandomState, min_words: int = 6,
-                    max_words: int = 15) -> str:
-    """Defaults give ~3.5-9 s utterances at the render rate — inside the
-    reference pipeline's (3 s, max_secs) duration-pruning window
-    (tal/asr/data/aligned.py:64-73)."""
+def random_sentence(rng: np.random.RandomState, min_words: int = 4,
+                    max_words: int = 10) -> str:
+    """Defaults give ~3.7-9.4 s utterances at the render rate (~0.94 s/word
+    at 180 ms/char) — inside the reference pipeline's (3 s, max_secs)
+    duration-pruning window (tal/asr/data/aligned.py:64-73)."""
     n = rng.randint(min_words, max_words + 1)
     return " ".join(WORDS[i] for i in rng.randint(0, len(WORDS), n))
 
