@@ -169,6 +169,9 @@ def main():
             acc = json.load(f)
         extras["accuracy_wer_pct"] = acc.get("wer_pct")
         extras["accuracy_wder_pct"] = acc.get("wder_pct")
+        if acc.get("unaligned_wer_pct") is not None:
+            extras["accuracy_unaligned_wer_pct"] = acc["unaligned_wer_pct"]
+            extras["accuracy_unaligned_wder_pct"] = acc["unaligned_wder_pct"]
 
     print(json.dumps({
         "metric": "joint_decode_audio_hours_per_hour_per_chip",

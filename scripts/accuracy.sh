@@ -57,14 +57,36 @@ if [ -z "$(ls "$DIR/ckpts/$NAME"/ckpt_*.msgpack 2>/dev/null)" ]; then
       --num-speakers "$SPEAKERS" --batch-size "$BATCH" --max-secs 10 \
       --num-workers 0 --lr "$LR" --max-epochs 100 --max-steps "$STEPS" \
       --ckpt-every "$CKPT_EVERY" ${LOAD:+--load "$LOAD"} \
-      --no-specaug \
+      --no-specaug --shiftaug \
       --name "$NAME" --checkpoint-path "$DIR/ckpts" --out-dir "$DIR/out-train"
 fi
+# --shiftaug: train on shift-augmented multi-utterance SEGMENTS as well as
+# single aligned utterances (reference system: SegmentDataset). Without it
+# the model never sees EOT-separated continuations and the unaligned
+# full-episode state machine decodes out-of-distribution (measured: aligned
+# spot-checks near-correct while unaligned windows emit junk).
 
 # Average the last 3 epoch checkpoints (the reference's avg_last_5.pt flow,
 # tal/utils/average_weights.py:13-29 / transcribe.py:217).
 python -m tal_asrd_tpu.cli.tools average-ckpt \
     --ckpt-dir "$DIR/ckpts/$NAME" --last-k 3 --out "$DIR/avg_last_3.msgpack"
+
+# Aligned eval (the reference's headline WER surface: per-utterance decode,
+# system.py:625-762) AND unaligned eval (the long-form product path:
+# full-episode state machine). Both go through the same wder-format + wder
+# CLIs; metrics.json carries both.
+python -m tal_asrd_tpu.cli.test \
+    --train-data "$DIR/train" --valid-data "$DIR/valid" --test-data "$DIR/test" \
+    --tokenizer "$DIR/bpe.model" --model-type 1x --num-speakers "$SPEAKERS" \
+    --num-workers 0 --load "$DIR/avg_last_3.msgpack" \
+    --out-dir "$DIR/out-test-aligned"
+
+python -m tal_asrd_tpu.cli.tools wder-format \
+    --test-result "$DIR/out-test-aligned/test_result.pkl" \
+    --out "$DIR/wder_ready_aligned.pkl"
+
+python -m tal_asrd_tpu.cli.wder --eval-file "$DIR/wder_ready_aligned.pkl" \
+    --workers 1
 
 python -m tal_asrd_tpu.cli.test \
     --train-data "$DIR/train" --valid-data "$DIR/valid" --test-data "$DIR/test" \
@@ -77,15 +99,18 @@ python -m tal_asrd_tpu.cli.tools wder-format \
 
 python -m tal_asrd_tpu.cli.wder --eval-file "$DIR/wder_ready.pkl" --workers 1
 
-# Summarize the dumped metrics pickle into metrics.json; bench.py folds these
-# into its JSON line (standing WER/WDER regression number, VERDICT r1 #1).
+# Summarize the dumped metrics pickles into metrics.json; bench.py folds
+# these into its JSON line (standing WER/WDER regression, VERDICT r1 #1).
 python - "$DIR" <<'PY'
 import json, pickle, sys
 d = sys.argv[1]
-out = pickle.load(open(f"{d}/wder_ready-wder.pkl", "rb"))
+al = pickle.load(open(f"{d}/wder_ready_aligned-wder.pkl", "rb"))
+un = pickle.load(open(f"{d}/wder_ready-wder.pkl", "rb"))
 json.dump(
-    {"wer_pct": round(100 * out[5], 3), "wder_pct": round(100 * out[2], 3),
-     "segments": len(out[3])},
+    {"wer_pct": round(100 * al[5], 3), "wder_pct": round(100 * al[2], 3),
+     "unaligned_wer_pct": round(100 * un[5], 3),
+     "unaligned_wder_pct": round(100 * un[2], 3),
+     "segments": len(un[3])},
     open(f"{d}/metrics.json", "w"))
 print(f"accuracy metrics -> {d}/metrics.json")
 PY
