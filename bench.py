@@ -172,6 +172,13 @@ def main():
         if acc.get("unaligned_wer_pct") is not None:
             extras["accuracy_unaligned_wer_pct"] = acc["unaligned_wer_pct"]
             extras["accuracy_unaligned_wder_pct"] = acc["unaligned_wder_pct"]
+        # Provenance: accuracy numbers are measured by scripts/accuracy.sh,
+        # not by this bench run — stamp where they came from so stale metrics
+        # are detectable downstream.
+        if acc.get("commit"):
+            extras["accuracy_commit"] = acc["commit"]
+        extras["accuracy_age_hours"] = round(
+            (time.time() - os.path.getmtime(acc_metrics)) / 3600.0, 1)
 
     print(json.dumps({
         "metric": "joint_decode_audio_hours_per_hour_per_chip",

@@ -8,31 +8,43 @@
 # trained model generalizes to held-out episodes and the resulting corpus
 # WER/WDER is a real regression number, not a memorization check.
 #
-# Scale knobs (defaults give a ~1 h run on one TPU v5e chip):
-#   ACC_DIR=accuracy ACC_EPISODES=100 ACC_STEPS=3000 ACC_BATCH=32
-#   ACC_TEST_EPISODES=4 ACC_SPEAKERS=4
+# Round-3 settings: corpus v2 (8 speakers on a 15 Hz hum grid with
+# per-utterance jitter -> aligned WDER is a live nonzero signal, not 0.0), and
+# training windows matched to the decode window (--max-secs 28.5 ~ the
+# unaligned chunk of 357 encoder frames) — round 2 trained on <=10 s segments
+# and the 28.5 s unaligned decode ran out-of-distribution (93% WER).
+#
+# Scale knobs (defaults give a multi-hour run on one TPU v5e chip):
+#   ACC_DIR=accuracy ACC_EPISODES=100 ACC_STEPS=4000 ACC_BATCH=16
+#   ACC_TEST_EPISODES=4 ACC_SPEAKERS=8 ACC_MAXSECS=28.5
+#   ACC_WARM=path.msgpack   (warm start; speaker-token embeddings expanded)
 set -euo pipefail
 
 DIR=${ACC_DIR:-accuracy}
 EPISODES=${ACC_EPISODES:-100}
-STEPS=${ACC_STEPS:-3000}
-BATCH=${ACC_BATCH:-32}
+STEPS=${ACC_STEPS:-4000}
+BATCH=${ACC_BATCH:-16}
 TEST_EPISODES=${ACC_TEST_EPISODES:-4}
-SPEAKERS=${ACC_SPEAKERS:-4}
+SPEAKERS=${ACC_SPEAKERS:-8}
+MAXSECS=${ACC_MAXSECS:-28.5}
 NAME=${ACC_NAME:-acc1x}
 LR=${ACC_LR:-4e-4}
-LOAD=${ACC_LOAD:-}   # optional warm-start params checkpoint
+LOAD=${ACC_LOAD:-}   # optional warm-start params checkpoint (strict partial)
+WARM=${ACC_WARM:-}   # optional warm start w/ speaker-embedding expansion
 CKPT_EVERY=${ACC_CKPT_EVERY:-5}   # epoch-ckpt I/O dominates small-corpus epochs
 
 mkdir -p "$DIR"
 
-if [ ! -f "$DIR/train/transcript.pkl" ]; then
+# Corpus v2 marker: regenerate when the synth renderer changes materially.
+if [ ! -f "$DIR/train/transcript.pkl" ] || [ ! -f "$DIR/train/.corpus_v2" ]; then
+  rm -rf "$DIR/train" "$DIR/valid" "$DIR/test"
   python -m tal_asrd_tpu.cli.tools synth-corpus --out-dir "$DIR/train" \
       --episodes "$EPISODES" --episode-seconds 120 --speakers "$SPEAKERS" --seed 0
   python -m tal_asrd_tpu.cli.tools synth-corpus --out-dir "$DIR/valid" \
       --episodes 3 --episode-seconds 120 --speakers "$SPEAKERS" --seed 101
   python -m tal_asrd_tpu.cli.tools synth-corpus --out-dir "$DIR/test" \
       --episodes "$TEST_EPISODES" --episode-seconds 180 --speakers "$SPEAKERS" --seed 202
+  touch "$DIR/train/.corpus_v2"
 fi
 
 if [ ! -f "$DIR/bpe.model" ]; then
@@ -50,21 +62,22 @@ fi
 # bins of the zero-redundancy synthetic tone cipher (a 1 s time mask erases
 # ~8 characters whose tokens remain as targets) -> an irreducible loss floor
 # (~3.8 measured). Natural-speech corpora should keep it on.
+# --shiftaug: train on shift-augmented multi-utterance SEGMENTS as well as
+# single aligned utterances (reference system: SegmentDataset, 10-30 s
+# windows). --max-secs sets BOTH the aligned pruning cap and the segment
+# window maximum; matching it to the unaligned decode chunk (28.5 s) keeps
+# the full-episode state machine in-distribution.
 if [ -z "$(ls "$DIR/ckpts/$NAME"/ckpt_*.msgpack 2>/dev/null)" ]; then
   python -m tal_asrd_tpu.cli.train \
       --train-data "$DIR/train" --valid-data "$DIR/valid" \
       --tokenizer "$DIR/bpe.model" --model-type 1x \
-      --num-speakers "$SPEAKERS" --batch-size "$BATCH" --max-secs 10 \
-      --num-workers 0 --lr "$LR" --max-epochs 100 --max-steps "$STEPS" \
+      --num-speakers "$SPEAKERS" --batch-size "$BATCH" --max-secs "$MAXSECS" \
+      --num-workers 0 --lr "$LR" --max-epochs 1000 --max-steps "$STEPS" \
       --ckpt-every "$CKPT_EVERY" ${LOAD:+--load "$LOAD"} \
+      ${WARM:+--load-decoder "$WARM" --no-strict} \
       --no-specaug --shiftaug \
       --name "$NAME" --checkpoint-path "$DIR/ckpts" --out-dir "$DIR/out-train"
 fi
-# --shiftaug: train on shift-augmented multi-utterance SEGMENTS as well as
-# single aligned utterances (reference system: SegmentDataset). Without it
-# the model never sees EOT-separated continuations and the unaligned
-# full-episode state machine decodes out-of-distribution (measured: aligned
-# spot-checks near-correct while unaligned windows emit junk).
 
 # Average the last 3 epoch checkpoints (the reference's avg_last_5.pt flow,
 # tal/utils/average_weights.py:13-29 / transcribe.py:217).
@@ -101,16 +114,34 @@ python -m tal_asrd_tpu.cli.wder --eval-file "$DIR/wder_ready.pkl" --workers 1
 
 # Summarize the dumped metrics pickles into metrics.json; bench.py folds
 # these into its JSON line (standing WER/WDER regression, VERDICT r1 #1).
+# Both pickles must exist AND be newer than the evaluated checkpoint, so a
+# partial rerun can never mix metrics from different checkpoints.
 python - "$DIR" <<'PY'
-import json, pickle, sys
+import json, os, pickle, subprocess, sys
 d = sys.argv[1]
-al = pickle.load(open(f"{d}/wder_ready_aligned-wder.pkl", "rb"))
-un = pickle.load(open(f"{d}/wder_ready-wder.pkl", "rb"))
+ckpt = f"{d}/avg_last_3.msgpack"
+paths = {"aligned": f"{d}/wder_ready_aligned-wder.pkl",
+         "unaligned": f"{d}/wder_ready-wder.pkl"}
+for leg, p in paths.items():
+    if not os.path.exists(p):
+        sys.exit(f"accuracy summary: missing {leg} metrics pickle {p}")
+    if os.path.getmtime(p) < os.path.getmtime(ckpt):
+        sys.exit(f"accuracy summary: {p} is OLDER than {ckpt} — stale eval; "
+                 f"rerun the {leg} test leg")
+al = pickle.load(open(paths["aligned"], "rb"))
+un = pickle.load(open(paths["unaligned"], "rb"))
+try:
+    commit = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                            capture_output=True, text=True).stdout.strip()
+except Exception:
+    commit = ""
 json.dump(
-    {"wer_pct": round(100 * al[5], 3), "wder_pct": round(100 * al[2], 3),
-     "unaligned_wer_pct": round(100 * un[5], 3),
-     "unaligned_wder_pct": round(100 * un[2], 3),
-     "segments": len(un[3])},
+    {"wer_pct": round(100 * al["overall_wer"], 3),
+     "wder_pct": round(100 * al["overall_wder"], 3),
+     "unaligned_wer_pct": round(100 * un["overall_wer"], 3),
+     "unaligned_wder_pct": round(100 * un["overall_wder"], 3),
+     "segments": len(un["dist"]),
+     "commit": commit},
     open(f"{d}/metrics.json", "w"))
 print(f"accuracy metrics -> {d}/metrics.json")
 PY

@@ -69,6 +69,21 @@ def main(argv=None):
                          "attention-weighted speaker embeddings")
     wf.add_argument("--chunk", type=int, default=357)
 
+    df = sub.add_parser("diar-features",
+                        help="per-utterance diarization features over a "
+                             "TAL-format corpus -> per-episode (sequences, "
+                             "cluster_ids) pickles for the UIS-RNN runners "
+                             "(extract_features_tal.py:28-249 equivalent)")
+    df.add_argument("--data", required=True, help="corpus dir (transcript.pkl)")
+    df.add_argument("--out-dir", required=True)
+    df.add_argument("--features", choices=["logmel", "wav2vec"],
+                    default="logmel",
+                    help="logmel: mean+std pooled log-mel (160-d); wav2vec: "
+                         "mean-pooled aggregator features (requires weights "
+                         "or uses random-init as a fixed feature hash)")
+    df.add_argument("--wav2vec-ckpt", default=None,
+                    help="optional converted fairseq wav2vec weights")
+
     sy = sub.add_parser("synth-corpus",
                         help="synthetic-speech TAL-format corpus (audio encodes "
                              "the text; for the self-contained accuracy loop)")
@@ -231,12 +246,89 @@ def main(argv=None):
         if args.role_map:
             with open(args.role_map) as f:
                 role_map = _json.load(f)
-        sd = np.load(args.sd_features) if args.sd_features else None
+        if args.sd_features:
+            import numpy as np
+            sd = np.load(args.sd_features)
+        else:
+            sd = None
         out = convert_results(results, role_map=role_map, sd_features=sd,
                               chunk=args.chunk)
         with open(args.out, "wb") as f:
             _pickle.dump(out, f)
         print(f"wrote {len(out)} wder-ready pairs to {args.out}")
+
+    elif args.cmd == "diar-features":
+        import pickle
+
+        import numpy as np
+
+        from tal_asrd_tpu.data.audio_io import load_audio_segment
+        from tal_asrd_tpu.ops.logmel import (
+            FrontendConfig,
+            _hann_periodic,
+            mel_filterbank,
+        )
+
+        def _numpy_logmel(audio, cfg, fb):
+            n, hop, win = cfg.n_fft, cfg.hop_length, cfg.win_length
+            pad = n // 2
+            x = np.pad(audio, (pad, pad), mode="reflect")
+            n_fr = 1 + (len(x) - n) // hop
+            idx = np.arange(n)[None, :] + hop * np.arange(n_fr)[:, None]
+            frames = x[idx] * _hann_periodic(win)
+            spec = np.abs(np.fft.rfft(frames, n=n, axis=-1)) ** 2
+            return np.log(spec @ fb + cfg.log_eps)
+
+        with open(os.path.join(args.data, "transcript.pkl"), "rb") as f:
+            transcripts = pickle.load(f)
+        os.makedirs(args.out_dir, exist_ok=True)
+
+        if args.features == "wav2vec":
+            from tal_asrd_tpu.core.checkpoint import load_pytree
+            from tal_asrd_tpu.diarization.wav2vec import (
+                extract_utterance_features,
+                init_wav2vec,
+            )
+
+            w2v_model, w2v_vars = init_wav2vec()
+            if args.wav2vec_ckpt:
+                w2v_vars = {"params": load_pytree(args.wav2vec_ckpt)}
+
+        fe_cfg = FrontendConfig(mean_subtract=False)
+        fb = mel_filterbank(
+            fe_cfg.n_fft // 2 + 1, fe_cfg.f_min, fe_cfg.effective_f_max,
+            fe_cfg.n_mels, fe_cfg.sample_rate,
+        )
+        for stub, utts in transcripts.items():
+            wav = os.path.join(args.data, stub + ".wav")
+            feats, ids = [], []
+            for u in utts:
+                audio = load_audio_segment(
+                    wav, u["utterance_start"], u["utterance_end"]
+                )
+                if len(audio) < 400:
+                    continue
+                if args.features == "logmel":
+                    # Mean+std pooled log-mel: an 80+80-d utterance signature
+                    # (the hum/formant speaker cues live in the spectral
+                    # envelope; stats pooling is the classic x-vector front).
+                    # Pure numpy (same window/filterbank as ops/logmel): this
+                    # is a host-side tool over variable-length utterances —
+                    # jit would compile one graph per length.
+                    mel = _numpy_logmel(audio, fe_cfg, fb)
+                    v = np.concatenate([mel.mean(0), mel.std(0)])
+                else:
+                    v = extract_utterance_features(
+                        w2v_model, w2v_vars, audio, window_s=None
+                    ).mean(axis=0)
+                feats.append(v.astype(np.float32))
+                ids.append(u["speaker"])
+            if not feats:
+                continue
+            with open(os.path.join(args.out_dir, stub + ".pkl"), "wb") as f:
+                pickle.dump((np.stack(feats), ids), f)
+            print(f"{stub}: {len(feats)} utterances x {feats[0].shape[0]}-d")
+        print(f"wrote {len(transcripts)} episode feature files to {args.out_dir}")
 
     elif args.cmd == "synth-corpus":
         from tal_asrd_tpu.data.synth import build_synth_corpus

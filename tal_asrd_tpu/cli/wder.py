@@ -82,8 +82,18 @@ def main(argv=None):
         )
     stub = os.path.basename(args.eval_file).split(".", 1)[0]
     out = os.path.join(os.path.dirname(args.eval_file), f"{stub}-wder.pkl")
+    # Named fields (positional reads of the corpus_wder tuple were one silent
+    # mis-index away from publishing wrong headline numbers).
+    ref_spk, hyp_spk, overall_wder, dist, n_words, overall_wer = outputs
     with open(out, "wb") as f:
-        pickle.dump(outputs, f)
+        pickle.dump({
+            "ref_speakers": ref_spk,
+            "hyp_speakers": hyp_spk,
+            "overall_wder": overall_wder,
+            "dist": dist,
+            "n_words": n_words,
+            "overall_wer": overall_wer,
+        }, f)
     print(f"Dumped metrics to {out}")
 
 

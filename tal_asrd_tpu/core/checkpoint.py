@@ -124,7 +124,12 @@ def load_params_partial(
                 )
             out[p] = tv
         else:
-            out[p] = jnp.asarray(cv, jnp.asarray(tv).dtype)
+            # Stay on host: loaded leaves become numpy (tv.dtype is metadata —
+            # never np.asarray(tv), which would FETCH every target leaf from
+            # the device; on a tunneled accelerator the leaf-by-leaf download
+            # + re-upload took minutes for a 180 MB checkpoint). The next
+            # shard_state/jit call transfers the whole tree in one batch.
+            out[p] = np.asarray(cv, dtype=tv.dtype)
     treedef = jax.tree_util.tree_structure(target_params)
     return jax.tree_util.tree_unflatten(
         treedef, [out[p] for p, _ in jax.tree_util.tree_flatten_with_path(target_params)[0]]

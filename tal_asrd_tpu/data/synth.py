@@ -71,16 +71,26 @@ def _char_freq(ch: str) -> float:
 
 
 def render_word(word: str, speaker_idx: int, rng: np.random.RandomState,
-                sr: int = SR) -> np.ndarray:
-    """Render one word: per-character tones + speaker hum/formant scale."""
+                sr: int = SR, hum_jitter: float = 0.0) -> np.ndarray:
+    """Render one word: per-character tones + speaker hum/formant scale.
+
+    Corpus v2 (round 3): the speaker task is deliberately NON-saturating so
+    aligned WDER is a live regression signal (round 2's 4-speaker corpus
+    measured exactly 0.0% — unable to catch diarization regressions). Eight
+    speakers on a 15 Hz hum grid with ±5 Hz per-utterance jitter: adjacent
+    speakers sit ~0.4 FFT bins apart (n_fft 400 → 40 Hz/bin), so identity
+    must be read from sub-bin leakage shapes and the (small) formant scale —
+    learnable but occasionally confusable.
+    """
     # Speaker timbre. The per-speaker scale step must stay well under the
-    # per-character ratio step (2^(1/7) ~ 10.4%, _char_freq): at the old 4%
-    # step, speaker 3's character i landed on speaker 0's character i+1
-    # (1.12 vs 1.104) — character identity was ambiguous without de-aliasing
-    # by speaker, which plateaued training. 1% keeps timbre learnable (the
-    # hum still separates speakers) without tone aliasing.
-    f_scale = 1.0 + 0.01 * speaker_idx
-    hum_f = 90.0 + 25.0 * speaker_idx           # speaker fundamental
+    # per-character ratio step (2^(1/7) ~ 10.4%, _char_freq): at a 4% step,
+    # speaker 3's character i landed on speaker 0's character i+1 (1.12 vs
+    # 1.104) — character identity was ambiguous without de-aliasing by
+    # speaker, which plateaued training. 0.5% keeps 8 speakers inside a 3.5%
+    # spread (no tone aliasing) while making timbre a weak, non-saturating
+    # speaker cue.
+    f_scale = 1.0 + 0.005 * speaker_idx
+    hum_f = 90.0 + 15.0 * speaker_idx + hum_jitter  # speaker fundamental
     n_char = int(CHAR_SECONDS * sr)
     t = np.arange(n_char) / sr
     segs = []
@@ -106,9 +116,12 @@ def render_word(word: str, speaker_idx: int, rng: np.random.RandomState,
 def render_utterance(text: str, speaker_idx: int, rng: np.random.RandomState,
                      sr: int = SR) -> np.ndarray:
     gap = np.zeros(int(WORD_GAP_SECONDS * sr), np.float32)
+    # Per-utterance hum jitter (stable within the utterance): brings adjacent
+    # speakers within ~5 Hz worst-case, the controlled-confusability knob.
+    hum_jitter = float(rng.uniform(-5.0, 5.0))
     parts: List[np.ndarray] = []
     for w in text.split():
-        parts.append(render_word(w, speaker_idx, rng, sr))
+        parts.append(render_word(w, speaker_idx, rng, sr, hum_jitter=hum_jitter))
         parts.append(gap)
     return np.concatenate(parts[:-1]) if parts else np.zeros(0, np.float32)
 
@@ -146,6 +159,11 @@ def build_synth_corpus(
         t = 0.3
         chunks.append(np.zeros(int(t * sr), np.float32))
         i = 0
+        # Role is assigned per episode (not a global function of speaker id,
+        # which would let role analysis degenerate into speaker analysis —
+        # the reference's roles likewise vary per episode).
+        episode_roles = [ROLES[int(rng.randint(0, len(ROLES)))]
+                         for _ in range(n_speakers)]
         while t < episode_seconds - 8.0:
             text = (sentences[(seed * 1000 + e * 100 + i) % len(sentences)]
                     if sentences else random_sentence(rng))
@@ -157,7 +175,7 @@ def build_synth_corpus(
                 "speaker": speakers[spk],
                 "utterance_start": float(t),
                 "utterance_end": float(t + dur),
-                "role": ROLES[spk % len(ROLES)],
+                "role": episode_roles[spk],
             })
             chunks.append(wav)
             gap = UTT_GAP_SECONDS + float(rng.rand()) * 0.2

@@ -64,7 +64,9 @@ def convert_to_wder_format(
     crashes on its sibling converter's 3-tuple output (an upstream API
     drift); trailing fields are stripped here instead.
     """
-    if speaker_utterances and len(speaker_utterances[0]) > 2:
+    if speaker_utterances and any(len(u) > 2 for u in speaker_utterances):
+        # Strip per-item: a mixed-arity list (role present on only some
+        # utterances) must not crash the strict 2-tuple unpacks below.
         speaker_utterances = [(u[0], u[1]) for u in speaker_utterances]
     to_cluster = True
     if wer_only:

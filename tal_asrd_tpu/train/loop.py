@@ -105,7 +105,20 @@ class Trainer:
                     self.generation_hook(state, step, self.logger)
                 except Exception as e:  # spot check must never kill training
                     print(f"[trainer] generation hook failed: {e}")
-            last_epoch = stop or epoch == cfg.max_epochs - 1
+            # Early-stop decision BEFORE checkpointing so a stopping epoch is
+            # always treated as last_epoch (params + full resume state saved;
+            # previously the early-stop branch fired after the ckpt block and
+            # the terminal epoch's state could be skipped entirely).
+            if cfg.overfit_pct == 0:  # early stopping disabled when overfitting
+                if val_loss < best_val - 1e-6:
+                    best_val = val_loss
+                    bad_epochs = 0
+                else:
+                    bad_epochs += 1
+                    if bad_epochs >= cfg.early_stop_patience:
+                        print(f"[trainer] early stop at epoch {epoch}")
+                        stop = True
+            last_epoch = stop or cfg.quick_test or epoch == cfg.max_epochs - 1
             if (epoch + 1) % cfg.ckpt_every == 0 or last_epoch:
                 if cfg.state_ckpt == "every" or last_epoch:
                     host_state = jax.device_get(state)  # one fetch, reused
@@ -119,16 +132,6 @@ class Trainer:
                 {"epoch_time_s": time.time() - t_epoch, "val_loss": val_loss},
                 step=step,
             )
-
-            if cfg.overfit_pct == 0:  # early stopping disabled when overfitting
-                if val_loss < best_val - 1e-6:
-                    best_val = val_loss
-                    bad_epochs = 0
-                else:
-                    bad_epochs += 1
-                    if bad_epochs >= cfg.early_stop_patience:
-                        print(f"[trainer] early stop at epoch {epoch}")
-                        stop = True
             if stop or cfg.quick_test:
                 break
         return state
