@@ -36,6 +36,7 @@ import jax.numpy as jnp
 
 from tal_asrd_tpu.core.config import ModelConfig
 from tal_asrd_tpu.decode import BeamSearchSpec, beam_search
+from tal_asrd_tpu.decode.fused_step import FusedASRDecoder
 from tal_asrd_tpu.decode.unaligned import UnalignedSpec, unaligned_decode
 from tal_asrd_tpu.models import ASRModel
 
@@ -77,6 +78,12 @@ def main():
     t = int(WINDOW_SECS * SR)
     cfg = ModelConfig(model_type="2x", num_speakers=64, vocab_size=10000)
     model = ASRModel(cfg, dtype=jnp.bfloat16)
+    # BENCH_FUSED=1: decode through the fused Pallas layer-step kernel
+    # (ops/pallas_decode.py); encode stays on the flax/XLA path.
+    use_fused = os.environ.get("BENCH_FUSED", "0") == "1"
+    fused_block = int(os.environ.get("BENCH_FUSED_BLOCK", "8"))
+    dec_model = (FusedASRDecoder(model, block_b=fused_block)
+                 if use_fused else model)
 
     rng = jax.random.PRNGKey(0)
     audio = jax.random.normal(rng, (batch, t), jnp.float32) * 0.1
@@ -98,7 +105,7 @@ def main():
         def decode(variables, audio, audio_lens):
             enc = model.apply(variables, audio, audio_lens, False,
                               method=ASRModel.encode)
-            return beam_search(model, variables, enc,
+            return beam_search(dec_model, variables, enc,
                                jnp.ones((batch, 1), jnp.int32), spec)
 
         return decode
@@ -137,6 +144,8 @@ def main():
             max_outer=4096,
         )
 
+        un_model = FusedASRDecoder(model) if use_fused else model
+
         @jax.jit
         def unaligned(variables, a, l):
             enc = model.apply(variables, a, l, False, method=ASRModel.encode)
@@ -145,7 +154,7 @@ def main():
                 if enc["encoder_padding_mask"] is not None
                 else enc["encoder_out"].shape[1]
             )
-            return unaligned_decode(model, variables, enc, n, spec_u)
+            return unaligned_decode(un_model, variables, enc, n, spec_u)
 
         out = unaligned(variables, ep_audio, ep_lens)
         int(np.asarray(out["num_tokens"]))  # compile fence
@@ -158,6 +167,63 @@ def main():
         extras["unaligned_tokens"] = n_tok
         extras["unaligned_iters"] = int(np.asarray(out["iters"]))
 
+        # ---- 3b. unaligned decode on TRAINED weights + real synth episode --
+        # The noise+random-init variant above is a stress case (the state
+        # machine mostly stall-cycles); this one exercises the real shift/
+        # reset cadence of a working model over in-distribution audio.
+        acc_dir = os.environ.get("ACC_DIR", "accuracy")
+        trained = os.path.join(acc_dir, "avg_last_3.msgpack")
+        bpe = os.path.join(acc_dir, "bpe.model")
+        if os.path.exists(trained) and os.path.exists(bpe):
+            import tempfile
+
+            from tal_asrd_tpu.core.checkpoint import load_pytree
+            from tal_asrd_tpu.data.audio_io import load_audio_segment
+            from tal_asrd_tpu.data.synth import build_synth_corpus
+            from tal_asrd_tpu.text import BpeTokenizer
+
+            tok = BpeTokenizer(model_path=bpe)
+            emb_rows = load_pytree(trained)["embedding"]["embedding"]
+            n_spk = int(np.asarray(emb_rows).shape[0]) - len(tok)
+            tcfg = ModelConfig(model_type="1x", num_speakers=n_spk,
+                               vocab_size=len(tok))
+            tmodel = ASRModel(tcfg, dtype=jnp.bfloat16)
+            with tempfile.TemporaryDirectory() as td:
+                build_synth_corpus(td, n_episodes=1, episode_seconds=120.0,
+                                   n_speakers=n_spk, seed=999)
+                ep = load_audio_segment(os.path.join(td, "ep0.wav"), 0.0, None)
+            ta = jnp.asarray(ep)[None]
+            tl = jnp.asarray([ta.shape[1]])
+            tvars = {"params": load_pytree(trained)}
+            tspec = UnalignedSpec(
+                eos_id=tok.eos_token_id, chunk_size=357,
+                max_positions=tcfg.max_positions, max_tokens=4096,
+                max_iters=20000, max_outer=2048,
+            )
+
+            @jax.jit
+            def unaligned_trained(variables, a, l):
+                enc = tmodel.apply(variables, a, l, False,
+                                   method=ASRModel.encode)
+                n = (
+                    (~enc["encoder_padding_mask"][0]).sum()
+                    if enc["encoder_padding_mask"] is not None
+                    else enc["encoder_out"].shape[1]
+                )
+                return unaligned_decode(tmodel, variables, enc, n, tspec)
+
+            out_t = unaligned_trained(tvars, ta, tl)
+            int(np.asarray(out_t["num_tokens"]))  # compile fence
+            t0 = time.perf_counter()
+            out_t = unaligned_trained(tvars, ta, tl)
+            n_tok_t = int(np.asarray(out_t["num_tokens"]))
+            wall_t = time.perf_counter() - t0
+            ep_secs = ta.shape[1] / SR
+            extras["unaligned_trained_audio_hours_per_hour"] = round(
+                ep_secs / wall_t, 2)
+            extras["unaligned_trained_tokens"] = n_tok_t
+            extras["unaligned_trained_iters"] = int(np.asarray(out_t["iters"]))
+
     # ---- standing accuracy regression numbers (scripts/accuracy.sh) --------
     root = os.path.dirname(os.path.abspath(__file__))
     acc_metrics = os.environ.get(
@@ -167,11 +233,9 @@ def main():
     if os.path.exists(acc_metrics):
         with open(acc_metrics) as f:
             acc = json.load(f)
-        extras["accuracy_wer_pct"] = acc.get("wer_pct")
-        extras["accuracy_wder_pct"] = acc.get("wder_pct")
-        if acc.get("unaligned_wer_pct") is not None:
-            extras["accuracy_unaligned_wer_pct"] = acc["unaligned_wer_pct"]
-            extras["accuracy_unaligned_wder_pct"] = acc["unaligned_wder_pct"]
+        for acc_k, acc_v in acc.items():
+            if isinstance(acc_v, (int, float)):
+                extras[f"accuracy_{acc_k}"] = acc_v
         # Provenance: accuracy numbers are measured by scripts/accuracy.sh,
         # not by this bench run — stamp where they came from so stale metrics
         # are detectable downstream.

@@ -75,7 +75,7 @@ if [ -z "$(ls "$DIR/ckpts/$NAME"/ckpt_*.msgpack 2>/dev/null)" ]; then
       --num-workers 0 --lr "$LR" --max-epochs 1000 --max-steps "$STEPS" \
       --ckpt-every "$CKPT_EVERY" ${LOAD:+--load "$LOAD"} \
       ${WARM:+--load-decoder "$WARM" --no-strict} \
-      --no-specaug --shiftaug \
+      --no-specaug --shiftaug --cache-items --audio-int16 \
       --name "$NAME" --checkpoint-path "$DIR/ckpts" --out-dir "$DIR/out-train"
 fi
 

@@ -1,0 +1,114 @@
+"""Deviation budget B at PRODUCTION scale (VERDICT r2 weak #5).
+
+tests/test_deviations.py measures history_evict_block divergence on a toy
+(evict 16 vs 1 under a 24-token cap); the shipped default is evict-block 64
+under the real 512-token cap. This script measures that exact configuration
+on the TRAINED accuracy model over full held-out synthetic episodes, and
+prints token agreement + wall-time for both settings so the default is
+justified by data (reference semantics: slide-by-one, system.py:478-488).
+
+    python scripts/deviation_budget.py [--episodes 2] [--episode-secs 120]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tal_asrd_tpu.core.checkpoint import load_pytree
+from tal_asrd_tpu.core.config import ModelConfig
+from tal_asrd_tpu.data.audio_io import load_audio_segment
+from tal_asrd_tpu.data.synth import build_synth_corpus
+from tal_asrd_tpu.decode.unaligned import UnalignedSpec, unaligned_decode
+from tal_asrd_tpu.models import ASRModel
+from tal_asrd_tpu.text import BpeTokenizer
+
+
+def token_agreement(a, b):
+    n = min(len(a), len(b))
+    if n == 0:
+        return 0.0
+    same = sum(int(x == y) for x, y in zip(a[:n], b[:n]))
+    return same / max(len(a), len(b))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--acc-dir", default="accuracy")
+    ap.add_argument("--episodes", type=int, default=2)
+    ap.add_argument("--episode-secs", type=float, default=120.0)
+    ap.add_argument("--seed", type=int, default=777)
+    args = ap.parse_args()
+
+    tok = BpeTokenizer(model_path=os.path.join(args.acc_dir, "bpe.model"))
+    params = load_pytree(os.path.join(args.acc_dir, "avg_last_3.msgpack"))
+    n_spk = int(np.asarray(params["embedding"]["embedding"]).shape[0]) - len(tok)
+    cfg = ModelConfig(model_type="1x", num_speakers=n_spk, vocab_size=len(tok))
+    model = ASRModel(cfg, dtype=jnp.bfloat16)
+    variables = {"params": params}
+
+    with tempfile.TemporaryDirectory() as td:
+        build_synth_corpus(td, n_episodes=args.episodes,
+                           episode_seconds=args.episode_secs,
+                           n_speakers=n_spk, seed=args.seed)
+        episodes = [
+            load_audio_segment(os.path.join(td, f"ep{i}.wav"), 0.0, None)
+            for i in range(args.episodes)
+        ]
+
+    def make_spec(evict):
+        return UnalignedSpec(
+            eos_id=tok.eos_token_id, chunk_size=357,
+            max_positions=cfg.max_positions,          # the real 512 cap
+            max_tokens=4096, max_iters=20000, max_outer=2048,
+            history_evict_block=evict,
+        )
+
+    @jax.jit
+    def encode(a, l):
+        return model.apply(variables, a, l, False, method=ASRModel.encode)
+
+    results = {64: [], 1: []}
+    walls = {64: 0.0, 1: 0.0}
+    for ei, ep in enumerate(episodes):
+        a = jnp.asarray(ep)[None]
+        l = jnp.asarray([a.shape[1]])
+        enc = encode(a, l)
+        enc_len = (
+            int((~np.asarray(enc["encoder_padding_mask"][0])).sum())
+            if enc["encoder_padding_mask"] is not None
+            else enc["encoder_out"].shape[1]
+        )
+        for evict in (64, 1):
+            t0 = time.perf_counter()
+            out = unaligned_decode(model, variables, enc,
+                                   jnp.asarray(enc_len), make_spec(evict))
+            n = int(out["num_tokens"])
+            walls[evict] += time.perf_counter() - t0
+            results[evict].append(
+                [int(t) for t in np.asarray(out["tokens"])[0, 1:n]]
+            )
+            print(f"ep{ei} evict={evict}: {n} tokens "
+                  f"{int(out['iters'])} iters")
+
+    agrees = [token_agreement(f, r)
+              for f, r in zip(results[64], results[1])]
+    print(f"\n[deviation B @ production scale] evict-block 64 vs 1 under the "
+          f"512 cap, trained model, {args.episodes}x{args.episode_secs:.0f}s "
+          f"episodes:")
+    print(f"  token agreement per episode: {np.round(agrees, 4).tolist()}")
+    print(f"  mean agreement: {float(np.mean(agrees)):.4f}")
+    print(f"  wall: evict64 {walls[64]:.1f}s vs evict1 {walls[1]:.1f}s "
+          f"(speedup {walls[1] / max(walls[64], 1e-9):.2f}x)")
+
+
+if __name__ == "__main__":
+    main()

@@ -31,6 +31,11 @@ def main(argv=None):
                    default="euclidean")
     p.add_argument("--cluster-method", default="hdbscan",
                    choices=["hdbscan", "dbscan", "agglomerative", "gmm"])
+    p.add_argument("--embed-head", type=str, default=None,
+                   help="trained contrastive metric-head params "
+                        "(cli.train_embed output); maps utterance embeddings "
+                        "through the MLP before clustering "
+                        "(wder_search_emb.py metric-head mode)")
     p.add_argument("--grid-search", action="store_true", default=False,
                    help="hyper-search clustering params (wder.py:408-441 "
                         "gp_minimize analog: seeded random search, 10 calls)")
@@ -43,6 +48,12 @@ def main(argv=None):
     with open(args.eval_file, "rb") as f:
         paired_results = pickle.load(f)
     print(f"{len(paired_results):,} test pairs loaded from {args.eval_file}")
+
+    if args.embed_head:
+        from tal_asrd_tpu.eval.wder_search import apply_embed_head
+
+        paired_results = apply_embed_head(paired_results, args.embed_head)
+        print(f"applied metric head {args.embed_head} to hyp embeddings")
 
     tok_fn = word_tokenize if args.tokenizer == "punkt" else tweet_tokenize
 

@@ -15,6 +15,7 @@ import random
 import numpy as np
 
 from tal_asrd_tpu.eval.wder_search import (
+    apply_embed_head,
     corpus_wder_map,
     default_param_grid,
     mean_utterance_embeddings,
@@ -31,6 +32,9 @@ def main(argv=None):
     p.add_argument("--mean", action="store_true", default=False,
                    help="average per-utterance token embeddings")
     p.add_argument("--lower-no-punct", action="store_true", default=False)
+    p.add_argument("--embed-head", type=str, default=None,
+                   help="trained contrastive metric-head params; maps "
+                        "embeddings through the MLP before clustering")
     p.add_argument("--role-based", action="store_true", default=False)
     p.add_argument("--role-map", type=str, default=None)
     p.add_argument("--out-tsv", type=str, default="out/wder_search.tsv")
@@ -44,6 +48,8 @@ def main(argv=None):
 
     if args.mean:
         paired = [(r, mean_utterance_embeddings(h)) for r, h in paired]
+    if args.embed_head:
+        paired = apply_embed_head(paired, args.embed_head)
     if args.lower_no_punct:
         paired = [
             ([(normalize_lower_no_punct(u), *rest) for u, *rest in r],

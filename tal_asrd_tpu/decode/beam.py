@@ -54,6 +54,12 @@ class BeamSearchSpec:
     force_output: bool = False
     collect_spk: bool = False
     num_speakers: int = 0
+    # Track the EXPECTED speaker embedding per emitted token (speaker-token
+    # models): softmax over the speaker-token logit slice x the speaker rows
+    # of the tied embedding table — the reference's `spk_embeds` parallel
+    # beam track (system.py:185-192) that feeds the embedding-clustering
+    # WDER chain (wder_search_emb.py).
+    collect_spk_embed: bool = False
 
 
 def _gather_beams(x: jax.Array, flat_beams: jax.Array) -> jax.Array:
@@ -144,6 +150,17 @@ def beam_search(
         else jnp.zeros((bk, 1, 1), jnp.bfloat16)
     )
     fin_spk = jnp.zeros_like(spk_track).reshape((b, k) + spk_track.shape[1:])
+    if spec.collect_spk_embed:
+        spk_rows = params["params"]["embedding"]["embedding"][
+            spec.vocab_size - spec.num_speakers :
+        ].astype(jnp.float32)                                   # [S, E]
+        emb_track = jnp.zeros(
+            (bk, spec.max_new_tokens, spk_rows.shape[1]), jnp.bfloat16
+        )
+    else:
+        spk_rows = None
+        emb_track = jnp.zeros((bk, 1, 1), jnp.bfloat16)
+    fin_emb = jnp.zeros_like(emb_track).reshape((b, k) + emb_track.shape[1:])
 
     batch_offset = (jnp.arange(b) * k)[:, None]  # [B, 1]
 
@@ -169,6 +186,8 @@ def beam_search(
         fin_valid=fin_valid,
         spk_track=spk_track,
         fin_spk=fin_spk,
+        emb_track=emb_track,
+        fin_emb=fin_emb,
     )
 
     def cond(c):
@@ -218,6 +237,19 @@ def beam_search(
                 c["spk_logits"].astype(jnp.bfloat16)[:, None, :],
                 (0, step, 0),
             )
+        emb_track = c["emb_track"]
+        if spec.collect_spk_embed:
+            probs = jax.nn.softmax(
+                c["logits"][:, spec.vocab_size - spec.num_speakers :]
+                .astype(jnp.float32), axis=-1,
+            )
+            expected = probs @ spk_rows                       # [BK, E]
+            emb_track = reorder(emb_track)
+            emb_track = jax.lax.dynamic_update_slice(
+                emb_track,
+                expected.astype(jnp.bfloat16)[:, None, :],
+                (0, step, 0),
+            )
 
         # Retirement (system.py:194-219): slots whose chosen token is EOS and
         # that are not already dead store their row and die. Slot done flags
@@ -238,6 +270,13 @@ def beam_search(
                 newly_bk[..., None, None],
                 spk_track.reshape((b, k) + spk_track.shape[1:]),
                 c["fin_spk"],
+            )
+        fin_emb = c["fin_emb"]
+        if spec.collect_spk_embed:
+            fin_emb = jnp.where(
+                newly_bk[..., None, None],
+                emb_track.reshape((b, k) + emb_track.shape[1:]),
+                c["fin_emb"],
             )
         done = c["done"] | is_eos
 
@@ -272,6 +311,8 @@ def beam_search(
             fin_valid=fin_valid,
             spk_track=spk_track,
             fin_spk=fin_spk,
+            emb_track=emb_track,
+            fin_emb=fin_emb,
         )
 
     c = jax.lax.while_loop(cond, body, carry0)
@@ -282,6 +323,7 @@ def beam_search(
     fin_tokens = c["fin_tokens"]
     fin_len = c["fin_len"]
     fin_spk = c["fin_spk"]
+    fin_emb = c["fin_emb"]
     if spec.force_output:
         # Add the live rows as candidates with length-normalized running scores.
         live_len = (p + c["step"]).astype(jnp.float32)
@@ -299,6 +341,12 @@ def beam_search(
                 c["spk_track"].reshape((b, k) + c["spk_track"].shape[1:]),
                 fin_spk,
             )
+        if spec.collect_spk_embed:
+            fin_emb = jnp.where(
+                take_live[..., None, None],
+                c["emb_track"].reshape((b, k) + c["emb_track"].shape[1:]),
+                fin_emb,
+            )
         fin_valid = fin_valid | live_valid
 
     sel_norm = jnp.where(fin_valid, fin_norm, NEG_INF)
@@ -314,6 +362,8 @@ def beam_search(
     }
     if spec.collect_spk:
         out["spk"] = take(fin_spk)
+    if spec.collect_spk_embed:
+        out["spk_embed"] = take(fin_emb)
     return out
 
 

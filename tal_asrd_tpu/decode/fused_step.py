@@ -1,0 +1,180 @@
+"""Fused-kernel decode driver: ASRModel-compatible decode surface backed by
+the Pallas fused layer-step kernel (ops/pallas_decode.py).
+
+`FusedASRDecoder` duck-types the four methods the decode loops use —
+`init_decode_state`, `decode_step`, `precompute_mem_kvs`, `decode_prefill` —
+so it can be passed AS the model into decode/beam.py beam_search and
+decode/unaligned.py unaligned_decode (they only touch `model.apply(...,
+method=type(model).X)`). The surrounding state machines are unchanged; only
+the per-token inner step runs as 1 fused kernel per layer instead of ~20 XLA
+ops per layer.
+
+Numerics: attention math in f32 like models/decoder.py; hidden dtype follows
+the wrapped model (bf16 in production). Token embedding, positional add and
+the tied-factorized output head stay as plain XLA ops (5 ops total — they
+fuse well already). Prefill goes through the flax full-sequence path (it is
+large-matmul-bound, not overhead-bound) and its caches are flattened into the
+kernel layout ([B, L, H*dh]).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tal_asrd_tpu.models.asr import ASRModel
+from tal_asrd_tpu.models.decoder import sinusoidal_positions
+from tal_asrd_tpu.ops.pallas_decode import fused_layer_step, pack_decoder
+
+
+class FusedASRDecoder:
+    """Drop-in decode-surface replacement for an ASRModel (inference only)."""
+
+    def __init__(self, model: ASRModel, interpret: bool = False,
+                 block_b: Optional[int] = None):
+        assert not model.cfg.use_speaker_head, (
+            "fused decode path covers the speaker-token mode; the speaker "
+            "head adds a second decoder stack (use the flax path)"
+        )
+        self.model = model
+        self.cfg = model.cfg
+        self.dtype = model.dtype
+        self.interpret = interpret
+        self.block_b = block_b
+        self._pe = jnp.asarray(
+            sinusoidal_positions(model.cfg.max_positions, model.cfg.d_decoder),
+            model.dtype,
+        )
+
+    # -- flax-compatible dispatch ---------------------------------------
+    def apply(self, variables, *args, method=None, **kwargs):
+        assert method is not None
+        return method(self, variables, *args, **kwargs)
+
+    # -- shared pieces ---------------------------------------------------
+    def _packed(self, variables):
+        return pack_decoder(
+            variables["params"]["decoder"], self.cfg.n_decoder_layers, self.dtype
+        )
+
+    def _embed(self, variables, y_tok: jax.Array) -> jax.Array:
+        p = variables["params"]
+        e = jnp.take(
+            jnp.asarray(p["embedding"]["embedding"], self.dtype), y_tok, axis=0
+        )
+        if self.cfg.embed_size:
+            e = e @ jnp.asarray(p["embedding_proj"], self.dtype)
+        return e
+
+    def _logits(self, variables, h: jax.Array) -> jax.Array:
+        p = variables["params"]
+        if self.cfg.embed_size:
+            h = h @ jnp.asarray(p["embedding_proj"], self.dtype).T
+        return h @ jnp.asarray(p["embedding"]["embedding"], self.dtype).T
+
+    # -- decode surface --------------------------------------------------
+    def encode(self, *args, **kwargs):
+        raise AttributeError(
+            "FusedASRDecoder is decode-only; run ASRModel.encode separately"
+        )
+
+    def init_decode_state(self, variables, encoder_out: Dict[str, Any],
+                          batch: int, max_len: int):
+        mem = encoder_out["encoder_out"]
+        mem_kvs = self.precompute_mem_kvs(variables, mem)
+        d = self.cfg.d_decoder
+        caches = tuple(
+            {
+                "k": jnp.zeros((batch, max_len, d), self.dtype),
+                "v": jnp.zeros((batch, max_len, d), self.dtype),
+            }
+            for _ in range(self.cfg.n_decoder_layers)
+        )
+        return {
+            "mem_kvs": mem_kvs,
+            "caches": caches,
+            "index": jnp.zeros((), jnp.int32),
+            "mask": encoder_out["encoder_padding_mask"],
+        }
+
+    def precompute_mem_kvs(self, variables, memory: jax.Array):
+        """Per-layer cross K/V, flattened [B, S, H*dh]."""
+        out = []
+        for li in range(self.cfg.n_decoder_layers):
+            lp = variables["params"]["decoder"][f"layers_{li}"]["cross_attn"]
+            kv = memory @ jnp.asarray(lp["kv"]["kernel"], self.dtype)
+            kv = kv + jnp.asarray(lp["kv"]["bias"], self.dtype)
+            k, v = jnp.split(kv, 2, axis=-1)
+            out.append({"k": k, "v": v})
+        return tuple(out)
+
+    def decode_step(self, variables, y_tok: jax.Array, state: Dict[str, Any]):
+        """[B, 1] token -> (logits [B, V], None, mean-layer cross-attn [B, S],
+        new_state). Matches ASRModel.decode_step's contract."""
+        idx = state["index"]
+        packed = self._packed(variables)
+        x = self._embed(variables, y_tok[:, 0])                    # [B, D]
+        x = x + jax.lax.dynamic_slice_in_dim(self._pe, idx, 1, axis=0)[0]
+
+        mask = state["mask"]
+        b = x.shape[0]
+        s = state["mem_kvs"][0]["k"].shape[1]
+        if mask is None:
+            bias = jnp.zeros((b, s), jnp.float32)
+        else:
+            bias = jnp.where(mask, -1e9, 0.0).astype(jnp.float32)
+            if bias.shape[0] == 1 and b > 1:
+                bias = jnp.broadcast_to(bias, (b, s))
+
+        caches = state["caches"]
+        new_caches = []
+        attn_sum = None
+        for li, w in enumerate(packed):
+            mk = state["mem_kvs"][li]["k"]
+            mv = state["mem_kvs"][li]["v"]
+            x, attn, ck, cv = fused_layer_step(
+                x, w, caches[li]["k"], caches[li]["v"], mk, mv, bias, idx,
+                n_head=self.cfg.n_head, interpret=self.interpret,
+                block_b=self.block_b,
+            )
+            new_caches.append({"k": ck, "v": cv})
+            attn_sum = attn if attn_sum is None else attn_sum + attn
+
+        logits = self._logits(variables, x)
+        attn_mean = attn_sum / len(packed)
+        new_state = dict(state, caches=tuple(new_caches), index=idx + 1)
+        return logits, None, attn_mean, new_state
+
+    def decode_prefill(self, variables, y: jax.Array, mem_kvs,
+                       mem_mask: Optional[jax.Array], cache_len: int):
+        """Flax full-sequence prefill, caches re-flattened to kernel layout.
+
+        mem_kvs here are the FLATTENED per-layer dicts from this class's
+        precompute_mem_kvs; they are reshaped to [B, S, H, dh] for flax.
+        """
+        h, d = self.cfg.n_head, self.cfg.d_decoder
+        dh = d // h
+
+        def unflat(kv):
+            b, s, _ = kv["k"].shape
+            return {
+                "k": kv["k"].reshape(b, s, h, dh),
+                "v": kv["v"].reshape(b, s, h, dh),
+            }
+
+        flax_kvs = tuple(unflat(kv) for kv in mem_kvs)
+        logits, attn, caches = self.model.apply(
+            variables, y, flax_kvs, mem_mask, cache_len,
+            method=ASRModel.decode_prefill,
+        )
+        flat = tuple(
+            {
+                "k": c["k"].reshape(c["k"].shape[0], c["k"].shape[1], d),
+                "v": c["v"].reshape(c["v"].shape[0], c["v"].shape[1], d),
+            }
+            for c in caches
+        )
+        return logits, attn, flat

@@ -64,7 +64,11 @@ def hyp_utterance_entry(
     sid = hyp.get("speakerId")
     role = (role_map or {}).get(sid, "subject")
     emb = None
-    if sd_features is not None and "attention" in hyp and "chunkStart" in hyp:
+    if "speakerEmbed" in hyp:
+        # Expected speaker embedding from the beam's parallel track
+        # (aligned speaker-token decode; system.py:185-192).
+        emb = np.asarray(hyp["speakerEmbed"], np.float32)
+    elif sd_features is not None and "attention" in hyp and "chunkStart" in hyp:
         att = np.asarray(hyp["attention"], np.float32)
         if att.shape[-1] != chunk:
             att = att[..., :chunk]

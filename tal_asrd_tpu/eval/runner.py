@@ -80,6 +80,13 @@ class EvalRunner:
             text_vocab_size=len(self.tokenizer),
             collect_spk=self.model.cfg.use_speaker_head,
             num_speakers=self.model.cfg.num_speakers,
+            # Speaker-token models: track expected speaker embeddings per
+            # step (system.py:185-192) for the embedding-clustering WDER
+            # chain (wder_search_emb.py).
+            collect_spk_embed=(
+                self.model.cfg.num_speakers > 0
+                and not self.model.cfg.use_speaker_head
+            ),
             lm_weight=self.cfg.lm_weight if self.lm is not None else 0.0,
         )
         model, lm, lm_vars = self.model, self.lm, self.lm_variables
@@ -112,6 +119,9 @@ class EvalRunner:
         lengths = np.asarray(out["lengths"])
         found = np.asarray(out["found"])
         spk = np.asarray(out["spk"], np.float32) if "spk" in out else None
+        emb = (np.asarray(out["spk_embed"], np.float32)
+               if "spk_embed" in out else None)
+        text_vocab = self.model.cfg.vocab_size
 
         hyp_dec, ref_dec = [], []
         for i in range(b):
@@ -126,6 +136,17 @@ class EvalRunner:
                     last = 0
                     for e, s in zip(entries, splits):
                         e["speakerLogits"] = spk[i, last : s + 1]
+                        last = s
+                if emb is not None:
+                    # Expected speaker embedding at each utterance's speaker
+                    # token. hyp[j] was emitted at beam step j-1 (index 0 is
+                    # the prime EOS), so its track row is emb[i, j-1].
+                    last = 0
+                    for e, s in zip(entries, splits):
+                        for j in range(last, min(s + 1, len(hyp))):
+                            if hyp[j] >= text_vocab and j >= 1:
+                                e["speakerEmbed"] = emb[i, j - 1]
+                                break
                         last = s
                 hyp_dec.append(entries)
             else:

@@ -319,17 +319,45 @@ def default_param_grid(
 
 def mean_utterance_embeddings(hyp_us):
     """--mean flag: average per-utterance token embeddings
-    (wder_search_emb.py behavior)."""
+    (wder_search_emb.py behavior). Trailing fields (role) are preserved."""
     out = []
-    for utt, spk in hyp_us:
+    for utt, spk, *rest in hyp_us:
         if isinstance(spk, tuple):
             emb, sid = spk
             if emb is not None and np.asarray(emb).ndim == 2:
                 emb = np.asarray(emb).mean(axis=0)
-            out.append((utt, (emb, sid)))
+            out.append((utt, (emb, sid), *rest))
         else:
-            out.append((utt, spk))
+            out.append((utt, spk, *rest))
     return out
+
+
+def apply_embed_head(paired_results, head_path: str):
+    """Map every hyp utterance embedding through the trained contrastive
+    metric head (train_embed.py MLP) before clustering — the reference's
+    metric-head mode of the wder_search_emb chain. Entries without an
+    embedding pass through unchanged."""
+    import jax.numpy as jnp
+
+    from tal_asrd_tpu.core.checkpoint import load_pytree
+    from tal_asrd_tpu.train.embed_system import EmbedMLP
+
+    params = load_pytree(head_path)
+    model = EmbedMLP()
+
+    def map_entry(entry):
+        utt, spk, *rest = entry
+        if isinstance(spk, tuple) and spk[0] is not None:
+            emb = np.asarray(spk[0], np.float32)
+            mapped = np.asarray(model.apply({"params": params},
+                                            jnp.asarray(emb[None])))[0]
+            return (utt, (mapped, spk[1]), *rest)
+        return entry
+
+    return [
+        (ref_us, [map_entry(h) for h in hyp_us])
+        for ref_us, hyp_us in paired_results
+    ]
 
 
 def majority_vote_token_clusters(token_labels: Sequence[int],

@@ -1,0 +1,263 @@
+"""Fused decoder layer-step Pallas kernel: one kernel per (layer, token).
+
+Why: the KV-cached decode step (models/asr.py decode_step) lowers to ~90 XLA
+ops per token across 4 layers — on tiny [B, 512] tensors each op is launch/
+latency-bound, not bandwidth- or compute-bound, so the while_loop decode
+(decode/beam.py, decode/unaligned.py) runs far below speed-of-light (r2 bench:
+7% MFU headline, 906 audio-h/h unaligned at B=1). This kernel fuses an entire
+ReZero decoder layer step — fused-QKV self-attention over the KV cache
+(in-place cache update via input_output_aliases), cross-attention over the
+precomputed encoder window K/V, and the feed-forward — into ONE pallas_call,
+cutting per-token kernel count by ~10x.
+
+Parity: semantics follow models/decoder.py RZDecoderLayer with a cache
+(causal bias over positions <= index, f32 softmax, mean-head cross-attn
+weights returned for the unaligned progress tracker); tests/test_pallas_decode
+checks allclose against the flax layer in interpret mode.
+
+Memory plan (v5e, ~16 MB VMEM): weights for one 2x layer are ~7 MB bf16 and
+the self-attn cache slice a few MB — both live fully in VMEM. The cross-attn
+K/V for a 357-frame window must also fit beside them, which bounds the batch
+block (B x S x D x 2 x 2 bytes); the decode paths use B<=64 per block.
+
+Reference hot loop being replaced: the reference re-decodes the full prefix
+per token in Python (tal/asr/system.py:109-114,350-387) — no kernel to port;
+this is the TPU-native design for the same computation.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+
+
+def _layer_step_kernel(
+    # scalar prefetch
+    idx_ref,                    # [1] int32: cache write index
+    # inputs (VMEM unless noted)
+    x_ref,                      # [B, D] activations
+    wqkv_ref, bqkv_ref,         # [D, 3D], [1, 3D]
+    wso_ref, bso_ref,           # [D, D], [1, D]   self out proj
+    wcq_ref, bcq_ref,           # [D, D], [1, D]   cross q proj
+    wco_ref, bco_ref,           # [D, D], [1, D]   cross out proj
+    wf1_ref, bf1_ref,           # [D, F], [1, F]
+    wf2_ref, bf2_ref,           # [F, D], [1, D]
+    rw_ref,                     # SMEM [1, 2] f32: (resweight, resweight_src)
+    ck_in_ref, cv_in_ref,       # [B, L, D] self KV cache (aliased to outputs)
+    memk_ref, memv_ref,         # [B, S, D] cross K/V
+    membias_ref,                # [B, S] f32 additive mask (0 / -inf)
+    # outputs
+    x_out_ref,                  # [B, D]
+    attn_out_ref,               # [B, S] f32 mean-head cross weights
+    ck_out_ref, cv_out_ref,     # aliased cache outputs
+    *,
+    n_head: int,
+):
+    del ck_in_ref, cv_in_ref    # aliased: ck_out/cv_out refs hold the data
+    idx = idx_ref[0]
+    x = x_ref[:]                                    # [B, D]
+    b, d = x.shape
+    h = n_head
+    dh = d // h
+    f32 = jnp.float32
+    scale = 1.0 / (dh ** 0.5)
+
+    # ---- self-attention: fused QKV -------------------------------------
+    qkv = jnp.dot(x, wqkv_ref[:], preferred_element_type=f32) + bqkv_ref[0][None, :]
+    q, k, v = qkv[:, :d], qkv[:, d:2 * d], qkv[:, 2 * d:]
+
+    # in-place cache update at position idx
+    ck_out_ref[:, pl.ds(idx, 1), :] = k.astype(ck_out_ref.dtype)[:, None, :]
+    cv_out_ref[:, pl.ds(idx, 1), :] = v.astype(cv_out_ref.dtype)[:, None, :]
+
+    l_buf = ck_out_ref.shape[1]
+    ck = ck_out_ref[:].astype(f32)                  # [B, L, D]
+    cv = cv_out_ref[:].astype(f32)
+    pos_ok = jax.lax.broadcasted_iota(jnp.int32, (1, l_buf), 1) <= idx
+
+    sa = jnp.zeros((b, d), f32)
+    for hi in range(h):
+        sl = slice(hi * dh, (hi + 1) * dh)
+        qh = q[:, sl] * scale                               # [B, dh]
+        logits = jnp.sum(qh[:, None, :] * ck[:, :, sl], -1)  # [B, L]
+        logits = jnp.where(pos_ok, logits, NEG_INF)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        sa = sa.at[:, sl].set(jnp.sum(p[:, :, None] * cv[:, :, sl], 1))
+
+    sa = jnp.dot(sa.astype(x.dtype), wso_ref[:], preferred_element_type=f32)
+    sa = sa + bso_ref[0][None, :]
+    rw = rw_ref[0, 0]
+    rw_src = rw_ref[0, 1]
+    x1 = x.astype(f32) + sa * rw                    # [B, D] f32
+
+    # ---- cross-attention over the precomputed window K/V ----------------
+    qc = jnp.dot(x1.astype(x.dtype), wcq_ref[:], preferred_element_type=f32)
+    qc = qc + bcq_ref[0][None, :]
+    memk = memk_ref[:].astype(f32)                  # [B, S, D]
+    memv = memv_ref[:].astype(f32)
+    bias = membias_ref[:]                           # [B, S]
+    s = memk.shape[1]
+    ca = jnp.zeros((b, d), f32)
+    attn_acc = jnp.zeros((b, s), f32)
+    for hi in range(h):
+        sl = slice(hi * dh, (hi + 1) * dh)
+        qh = qc[:, sl] * scale
+        logits = jnp.sum(qh[:, None, :] * memk[:, :, sl], -1) + bias
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)  # [B, S]
+        attn_acc = attn_acc + p
+        ca = ca.at[:, sl].set(jnp.sum(p[:, :, None] * memv[:, :, sl], 1))
+
+    attn_out_ref[:] = attn_acc / h                  # mean over heads
+    ca = jnp.dot(ca.astype(x.dtype), wco_ref[:], preferred_element_type=f32)
+    ca = ca + bco_ref[0][None, :]
+    x2 = x1 + ca * rw_src
+
+    # ---- feed-forward ----------------------------------------------------
+    ffh = jnp.dot(x2.astype(x.dtype), wf1_ref[:], preferred_element_type=f32)
+    ffh = jnp.maximum(ffh + bf1_ref[0][None, :], 0.0)
+    ff = jnp.dot(ffh.astype(x.dtype), wf2_ref[:], preferred_element_type=f32)
+    ff = ff + bf2_ref[0][None, :]
+    x3 = x2 + ff * rw
+
+    x_out_ref[:] = x3.astype(x_out_ref.dtype)
+
+
+def fused_layer_step(
+    x: jax.Array,                   # [B, D]
+    weights: Dict[str, jax.Array],  # packed layer weights (see pack_layer)
+    cache_k: jax.Array,             # [B, L, D] (flattened heads)
+    cache_v: jax.Array,
+    mem_k: jax.Array,               # [B, S, D]
+    mem_v: jax.Array,
+    mem_bias: jax.Array,            # [B, S] f32
+    index: jax.Array,               # [] int32
+    n_head: int,
+    interpret: bool = False,
+    block_b: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """One fused decoder layer step. Returns (x_out, attn_mean, new_ck, new_cv).
+
+    The cache buffers are donated/aliased: callers must treat the inputs as
+    consumed and use the returned buffers.
+
+    block_b grids the batch so per-block VMEM (weights ~7 MB for a 2x layer +
+    B_blk x (L + 2S) x D x 2 bytes of K/V) stays under the ~16 MB budget;
+    weight blocks use a constant index_map so they stay resident across
+    blocks. Default: whole batch in one block.
+    """
+    b, d = x.shape
+    s = mem_k.shape[1]
+    l_buf = cache_k.shape[1]
+    if block_b is None or block_b >= b:
+        blk, grid = b, 1
+    else:
+        assert b % block_b == 0, (b, block_b)
+        blk, grid = block_b, b // block_b
+    rw = jnp.stack(
+        [weights["resweight"], weights["resweight_src"]]
+    ).reshape(1, 2).astype(jnp.float32)
+
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda i, *_: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    batched = lambda shape: pl.BlockSpec(
+        shape, lambda i, *_: (i,) + (0,) * (len(shape) - 1),
+        memory_space=pltpu.VMEM,
+    )
+    w_specs = [
+        full(weights["wqkv"].shape), full((1, 3 * d)),
+        full(weights["wso"].shape), full((1, d)),
+        full(weights["wcq"].shape), full((1, d)),
+        full(weights["wco"].shape), full((1, d)),
+        full(weights["wf1"].shape), full((1, weights["wf1"].shape[1])),
+        full(weights["wf2"].shape), full((1, d)),
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid,),
+        in_specs=(
+            [batched((blk, d))]                               # x
+            + w_specs                                          # 12 weights
+            + [pl.BlockSpec((1, 2), lambda i, *_: (0, 0),
+                            memory_space=pltpu.SMEM)]          # rw
+            + [batched((blk, l_buf, d)), batched((blk, l_buf, d))]  # ck cv
+            + [batched((blk, s, d)), batched((blk, s, d))]     # memk memv
+            + [batched((blk, s))]                              # bias
+        ),
+        out_specs=[
+            batched((blk, d)),
+            batched((blk, s)),
+            batched((blk, l_buf, d)),
+            batched((blk, l_buf, d)),
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((b, d), x.dtype),
+        jax.ShapeDtypeStruct((b, s), jnp.float32),
+        jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
+        jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
+    ]
+    # input index k (0-based, AFTER the scalar-prefetch arg) -> output index.
+    # inputs: 0:x 1..12:weights 13:rw 14:ck 15:cv 16:memk 17:memv 18:bias
+    x_out, attn, ck, cv = pl.pallas_call(
+        functools.partial(_layer_step_kernel, n_head=n_head),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases={15: 2, 16: 3},
+        interpret=interpret,
+    )(
+        jnp.asarray(index, jnp.int32).reshape(1),
+        x,
+        weights["wqkv"], weights["bqkv"].reshape(1, -1),
+        weights["wso"], weights["bso"].reshape(1, -1),
+        weights["wcq"], weights["bcq"].reshape(1, -1),
+        weights["wco"], weights["bco"].reshape(1, -1),
+        weights["wf1"], weights["bf1"].reshape(1, -1),
+        weights["wf2"], weights["bf2"].reshape(1, -1),
+        rw,
+        cache_k, cache_v,
+        mem_k, mem_v,
+        mem_bias.astype(jnp.float32),
+    )
+    return x_out, attn, ck, cv
+
+
+def pack_layer(layer_params: Dict, dtype=jnp.bfloat16) -> Dict[str, jax.Array]:
+    """Flax RZDecoderLayer params -> packed kernel weights (kernels [in, out],
+    biases f32, resweights f32 scalars)."""
+    p = layer_params
+    return {
+        "wqkv": jnp.asarray(p["self_attn"]["qkv"]["kernel"], dtype),
+        "bqkv": jnp.asarray(p["self_attn"]["qkv"]["bias"], jnp.float32),
+        "wso": jnp.asarray(p["self_attn"]["out_proj"]["kernel"], dtype),
+        "bso": jnp.asarray(p["self_attn"]["out_proj"]["bias"], jnp.float32),
+        "wcq": jnp.asarray(p["cross_attn"]["q"]["kernel"], dtype),
+        "bcq": jnp.asarray(p["cross_attn"]["q"]["bias"], jnp.float32),
+        "wco": jnp.asarray(p["cross_attn"]["out_proj"]["kernel"], dtype),
+        "bco": jnp.asarray(p["cross_attn"]["out_proj"]["bias"], jnp.float32),
+        "wf1": jnp.asarray(p["linear1"]["kernel"], dtype),
+        "bf1": jnp.asarray(p["linear1"]["bias"], jnp.float32),
+        "wf2": jnp.asarray(p["linear2"]["kernel"], dtype),
+        "bf2": jnp.asarray(p["linear2"]["bias"], jnp.float32),
+        "resweight": jnp.asarray(p["resweight"], jnp.float32),
+        "resweight_src": jnp.asarray(p["resweight_src"], jnp.float32),
+    }
+
+
+def pack_decoder(decoder_params: Dict, n_layers: int,
+                 dtype=jnp.bfloat16) -> Tuple[Dict[str, jax.Array], ...]:
+    """Pack all RZDecoder layers (params['decoder']['layers_i'])."""
+    return tuple(
+        pack_layer(decoder_params[f"layers_{li}"], dtype)
+        for li in range(n_layers)
+    )

@@ -177,3 +177,42 @@ def test_beam_search_jits():
     f = jax.jit(lambda v, e, p: beam_search(model, v, e, p, spec))
     out = f(variables, enc, jnp.full((2, 1), EOS, jnp.int32))
     assert out["tokens"].shape == (2, 7)
+
+
+def test_spk_embed_track_expected_embedding():
+    """collect_spk_embed tracks softmax(speaker logits) @ speaker embedding
+    rows per emitted token (the reference's spk_embeds beam track,
+    system.py:185-192)."""
+    model, variables, enc, cfg = build(seed=9)
+    vocab = cfg.vocab_size + cfg.num_speakers
+    prime = jnp.full((2, 1), EOS, jnp.int32)
+    spec = BeamSearchSpec(
+        beam_size=1, max_new_tokens=5, eos_id=-1,  # never terminates
+        vocab_size=vocab, text_vocab_size=cfg.vocab_size,
+        force_output=True, collect_spk_embed=True,
+        num_speakers=cfg.num_speakers,
+    )
+    out = beam_search(model, variables, enc, prime, spec)
+    emb = np.asarray(out["spk_embed"], np.float32)
+    assert emb.shape == (2, 5, cfg.embed_size)
+    assert np.isfinite(emb).all()
+
+    # Independent recomputation of step 0: greedy decode_step from the prime,
+    # expected embedding = softmax over speaker-slice logits @ E[vocab:].
+    state = model.apply(variables, {
+        "encoder_out": enc["encoder_out"],
+        "speaker_out": None,
+        "encoder_padding_mask": enc["encoder_padding_mask"],
+    }, 2, 6, method=ASRModel.init_decode_state)
+    logits, _, _, state = model.apply(
+        variables, prime, state, method=ASRModel.decode_step
+    )
+    probs = np.asarray(
+        jax.nn.softmax(jnp.asarray(logits)[:, cfg.vocab_size:].astype(jnp.float32), -1)
+    )
+    rows = np.asarray(
+        variables["params"]["embedding"]["embedding"][cfg.vocab_size:],
+        np.float32,
+    )
+    expected0 = probs @ rows
+    np.testing.assert_allclose(emb[:, 0], expected0, rtol=0.05, atol=0.05)

@@ -1,0 +1,111 @@
+"""FusedASRDecoder (Pallas fused layer-step, interpret mode) vs the flax
+ASRModel decode surface: step logits/attention parity and state-machine
+compatibility."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tal_asrd_tpu.core.config import FrontendConfig, ModelConfig
+from tal_asrd_tpu.decode.fused_step import FusedASRDecoder
+from tal_asrd_tpu.models import ASRModel
+
+TINY = ModelConfig(
+    model_type="1x",
+    num_speakers=3,
+    n_mels=8,
+    vocab_size=16,
+    n_head=2,
+    max_positions=64,
+    dropout=0.0,
+    embed_size=8,
+    tds_depths=(1, 1, 1),
+    tds_kernel=5,
+)
+TINY_FRONTEND = FrontendConfig(n_mels=8, n_fft=64, win_length=64, hop_length=32)
+
+
+@pytest.fixture(scope="module")
+def built():
+    model = ASRModel(TINY, TINY_FRONTEND)
+    audio = jax.random.normal(jax.random.PRNGKey(0), (2, 4800)) * 0.1
+    lens = jnp.array([4800, 3200])
+    y = jnp.zeros((2, 4), jnp.int32)
+    variables = model.init({"params": jax.random.PRNGKey(1)}, audio, y, lens)
+    variables = jax.tree_util.tree_map(
+        lambda x: x + 0.3 if x.ndim == 0 else x, variables
+    )
+    enc = model.apply(variables, audio, lens, False, method=ASRModel.encode)
+    return model, variables, enc
+
+
+def test_fused_decode_step_matches_flax(built):
+    model, variables, enc = built
+    fused = FusedASRDecoder(model, interpret=True)
+
+    max_len = 8
+    st_ref = model.apply(variables, enc, 2, max_len,
+                         method=ASRModel.init_decode_state)
+    st_f = fused.apply(variables, enc, 2, max_len,
+                       method=FusedASRDecoder.init_decode_state)
+
+    toks = jnp.array([[1], [2]], jnp.int32)
+    for step in range(3):
+        lo_r, _, at_r, st_ref = model.apply(
+            variables, toks, st_ref, method=ASRModel.decode_step
+        )
+        lo_f, _, at_f, st_f = fused.apply(
+            variables, toks, st_f, method=FusedASRDecoder.decode_step
+        )
+        np.testing.assert_allclose(
+            np.asarray(lo_f, np.float32), np.asarray(lo_r, np.float32),
+            rtol=2e-3, atol=2e-3, err_msg=f"logits step {step}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(at_f, np.float32), np.asarray(at_r, np.float32),
+            rtol=2e-3, atol=2e-3, err_msg=f"attn step {step}",
+        )
+        toks = jnp.argmax(lo_r, -1)[:, None].astype(jnp.int32)
+
+
+def test_fused_prefill_matches_flax(built):
+    model, variables, enc = built
+    fused = FusedASRDecoder(model, interpret=True)
+    window = enc["encoder_out"][:1]
+
+    mem_f = fused.apply(variables, window,
+                        method=FusedASRDecoder.precompute_mem_kvs)
+    mem_r = model.apply(variables, window, method=ASRModel.precompute_mem_kvs)
+    for li in range(model.cfg.n_decoder_layers):
+        b, s, h, dh = mem_r[li]["k"].shape
+        np.testing.assert_allclose(
+            np.asarray(mem_f[li]["k"], np.float32),
+            np.asarray(mem_r[li]["k"], np.float32).reshape(b, s, h * dh),
+            rtol=2e-3, atol=2e-3,
+        )
+
+    hist = jnp.array([[1, 5, 9, 2, 0, 0]], jnp.int32)
+    p_max = hist.shape[1]
+    lo_r, at_r, caches_r = model.apply(
+        variables, hist, mem_r, None, p_max, method=ASRModel.decode_prefill
+    )
+    lo_f, at_f, caches_f = fused.apply(
+        variables, hist, mem_f, None, p_max,
+        method=FusedASRDecoder.decode_prefill,
+    )
+    np.testing.assert_allclose(np.asarray(lo_f, np.float32),
+                               np.asarray(lo_r, np.float32), rtol=1e-5, atol=1e-5)
+    # prefilled caches then drive a fused step identical to a flax step
+    st_f = {"mem_kvs": mem_f, "caches": caches_f,
+            "index": jnp.asarray(4, jnp.int32), "mask": None}
+    st_r = {"mem_kvs": mem_r, "caches": caches_r,
+            "index": jnp.asarray(4, jnp.int32), "mask": None}
+    tok = jnp.array([[3]], jnp.int32)
+    lo_f2, _, _, _ = fused.apply(variables, tok, st_f,
+                                 method=FusedASRDecoder.decode_step)
+    lo_r2, _, _, _ = model.apply(variables, tok, st_r,
+                                 method=ASRModel.decode_step)
+    np.testing.assert_allclose(np.asarray(lo_f2, np.float32),
+                               np.asarray(lo_r2, np.float32),
+                               rtol=2e-3, atol=2e-3)
