@@ -26,6 +26,9 @@ def get_argparser(is_train: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--val-batch-size", type=int, default=None)
     p.add_argument("--beam-size", type=int, default=5)
+    p.add_argument("--fused-decode", action="store_true", default=False,
+                   help="per-token decode via the fused Pallas layer-step "
+                        "kernel (speaker-token models)")
     p.add_argument("--num-workers", type=int, default=4)
     p.add_argument("--grad-acc", type=int, default=1)
     p.add_argument("--lr", type=float, default=1e-4)
@@ -119,5 +122,6 @@ def build_configs(args, tokenizer=None):
         lm_weight=args.lm_weight,
         max_secs=args.max_secs,
     )
-    decode_cfg = DecodeConfig(beam_size=args.beam_size, lm_weight=args.lm_weight)
+    decode_cfg = DecodeConfig(beam_size=args.beam_size, lm_weight=args.lm_weight,
+                              use_fused_decode=getattr(args, "fused_decode", False))
     return model_cfg, train_cfg, decode_cfg

@@ -189,6 +189,9 @@ class DecodeConfig:
     # causal decoding (matches training-time masking; much faster on TPU);
     # 'noncausal_ref' reproduces the reference behavior exactly.
     self_attn_mode: str = "causal"
+    # Run per-token decode steps through the fused Pallas layer-step kernel
+    # (ops/pallas_decode.py) — speaker-token models only.
+    use_fused_decode: bool = False
 
 
 @dataclass(frozen=True)

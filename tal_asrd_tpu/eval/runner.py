@@ -41,6 +41,14 @@ class EvalRunner:
         self.cfg = decode_cfg
         self.out_dir = out_dir
         self.spk_weight = spk_weight
+        # Fused Pallas decode path (DecodeConfig.use_fused_decode): replaces
+        # the per-token flax decode_step in both generate paths; the state
+        # machines themselves are unchanged (decode/fused_step.py).
+        self._decode_model = model
+        if decode_cfg.use_fused_decode and not model.cfg.use_speaker_head:
+            from tal_asrd_tpu.decode.fused_step import FusedASRDecoder
+
+            self._decode_model = FusedASRDecoder(model)
         # Shallow-fusion LM (test.py:47-55); used by both decode paths when
         # decode_cfg.lm_weight > 0.
         self.lm = lm
@@ -90,11 +98,12 @@ class EvalRunner:
             lm_weight=self.cfg.lm_weight if self.lm is not None else 0.0,
         )
         model, lm, lm_vars = self.model, self.lm, self.lm_variables
+        dec_model = self._decode_model
 
         @jax.jit
         def run(variables, audio, lens, prime):
             enc = model.apply(variables, audio, lens, False, method=ASRModel.encode)
-            return beam_search(model, variables, enc, prime, spec,
+            return beam_search(dec_model, variables, enc, prime, spec,
                                lm=lm, lm_params=lm_vars)
 
         self._jit[key] = run
@@ -184,7 +193,7 @@ class EvalRunner:
                 lm_weight=self.cfg.lm_weight if self.lm is not None else 0.0,
                 text_vocab_size=len(self.tokenizer),
             )
-        out = unaligned_decode(model, self.variables, enc,
+        out = unaligned_decode(self._decode_model, self.variables, enc,
                                jnp.asarray(enc_len), spec,
                                lm=self.lm, lm_variables=self.lm_variables)
         n = int(out["num_tokens"])

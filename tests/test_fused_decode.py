@@ -109,3 +109,27 @@ def test_fused_prefill_matches_flax(built):
     np.testing.assert_allclose(np.asarray(lo_f2, np.float32),
                                np.asarray(lo_r2, np.float32),
                                rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_unaligned_decode_with_fused_model(built):
+    """The unaligned state machine driven by FusedASRDecoder produces the
+    same token stream as the flax decode path (tiny spec, interpret mode)."""
+    from tal_asrd_tpu.decode.unaligned import UnalignedSpec, unaligned_decode
+
+    model, variables, enc = built
+    fused = FusedASRDecoder(model, interpret=True)
+    enc_len = jnp.asarray(enc["encoder_out"].shape[1], jnp.int32)
+    enc1 = {"encoder_out": enc["encoder_out"][:1],
+            "speaker_out": None, "encoder_padding_mask": None}
+    spec = UnalignedSpec(
+        eos_id=1, chunk_size=8, max_positions=16, stall_patience=6,
+        max_tokens=48, max_iters=120, max_outer=24, history_evict_block=4,
+    )
+    out_ref = unaligned_decode(model, variables, enc1, enc_len, spec)
+    out_f = unaligned_decode(fused, variables, enc1, enc_len, spec)
+    n_r = int(out_ref["num_tokens"])
+    n_f = int(out_f["num_tokens"])
+    toks_r = list(np.asarray(out_ref["tokens"])[0, :n_r])
+    toks_f = list(np.asarray(out_f["tokens"])[0, :n_f])
+    assert toks_r == toks_f, (toks_r, toks_f)
