@@ -202,6 +202,14 @@ def corpus_wder(paired_results, wer_only: bool = False, workers: int = 1,
             for i, r, h in jobs
         ]
 
+    if not results:
+        # Parity keeps the reference's skip-empty-segment filter (wder.py:267);
+        # if EVERY segment was skipped the model emitted no complete
+        # utterances at all — fail loudly instead of zip(*[]) crashing.
+        raise ValueError(
+            f"corpus_wder: all {len(paired_results)} segments were skipped "
+            "(empty ref or hyp utterance lists) — the hypothesis stream "
+            "contains no complete utterances; nothing to score")
     wer_components, wder_components, wders = zip(*results)
     ref_spk_t, hyp_spk_t = zip(*wder_components)
     overall_wder = float(np.mean(wders))
