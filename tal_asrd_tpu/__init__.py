@@ -30,6 +30,22 @@ Layout:
   diarization/, vad/, align/  baseline subsystems
 """
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    # This environment preimports jax at interpreter startup (an axon
+    # sitecustomize registers the tunneled TPU backend), so JAX_PLATFORMS as a
+    # plain env var is read too early to take effect — a CLI launched with
+    # JAX_PLATFORMS=cpu would silently grab the real TPU and contend with
+    # whatever is training on it. Re-assert the requested platform through
+    # jax.config before any backend is instantiated.
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except RuntimeError:
+        pass  # backend already instantiated; the env var did take effect
+
 from tal_asrd_tpu.core.utils import (
     count_parameters,
     debug_log,
