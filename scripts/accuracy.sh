@@ -62,19 +62,38 @@ fi
 # bins of the zero-redundancy synthetic tone cipher (a 1 s time mask erases
 # ~8 characters whose tokens remain as targets) -> an irreducible loss floor
 # (~3.8 measured). Natural-speech corpora should keep it on.
-# --shiftaug: train on shift-augmented multi-utterance SEGMENTS as well as
-# single aligned utterances (reference system: SegmentDataset, 10-30 s
-# windows). --max-secs sets BOTH the aligned pruning cap and the segment
-# window maximum; matching it to the unaligned decode chunk (28.5 s) keeps
-# the full-episode state machine in-distribution.
+#
+# TWO-PHASE CURRICULUM (measured, round 3): training directly on 28.5 s
+# multi-utterance windows plateaus at val ~3.92 ~= the corpus unigram entropy
+# — the decoder learns the LM prior but cross-attention never locks onto the
+# audio (2.7k steps, no click). Short single utterances first (phase 1,
+# <=10 s) let alignment click, then phase 2 warm-starts on 28.5 s
+# --shiftaug windows matched to the unaligned decode chunk (357 enc frames)
+# so the full-episode state machine runs in-distribution — the same
+# short-then-long continuation that worked in round 2.
+STEPS1=${ACC_STEPS1:-3000}
+LR2=${ACC_LR2:-2e-4}
+if [ -z "$(ls "$DIR/ckpts/${NAME}-p1"/ckpt_*.msgpack 2>/dev/null)" ]; then
+  python -m tal_asrd_tpu.cli.train \
+      --train-data "$DIR/train" --valid-data "$DIR/valid" \
+      --tokenizer "$DIR/bpe.model" --model-type 1x \
+      --num-speakers "$SPEAKERS" --batch-size "$BATCH" --max-secs 10 \
+      --num-workers 0 --lr "$LR" --max-epochs 1000 --max-steps "$STEPS1" \
+      --ckpt-every "$CKPT_EVERY" ${LOAD:+--load "$LOAD"} \
+      ${WARM:+--load-decoder "$WARM" --no-strict} \
+      --no-specaug --cache-items --audio-int16 \
+      --name "${NAME}-p1" --checkpoint-path "$DIR/ckpts" \
+      --out-dir "$DIR/out-train"
+fi
+
 if [ -z "$(ls "$DIR/ckpts/$NAME"/ckpt_*.msgpack 2>/dev/null)" ]; then
+  P1=$(ls -v "$DIR/ckpts/${NAME}-p1"/ckpt_*.msgpack | tail -1)
   python -m tal_asrd_tpu.cli.train \
       --train-data "$DIR/train" --valid-data "$DIR/valid" \
       --tokenizer "$DIR/bpe.model" --model-type 1x \
       --num-speakers "$SPEAKERS" --batch-size "$BATCH" --max-secs "$MAXSECS" \
-      --num-workers 0 --lr "$LR" --max-epochs 1000 --max-steps "$STEPS" \
-      --ckpt-every "$CKPT_EVERY" ${LOAD:+--load "$LOAD"} \
-      ${WARM:+--load-decoder "$WARM" --no-strict} \
+      --num-workers 0 --lr "$LR2" --max-epochs 1000 --max-steps "$STEPS" \
+      --ckpt-every "$CKPT_EVERY" --load "$P1" \
       --no-specaug --shiftaug --cache-items --audio-int16 \
       --name "$NAME" --checkpoint-path "$DIR/ckpts" --out-dir "$DIR/out-train"
 fi
