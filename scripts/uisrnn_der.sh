@@ -4,7 +4,7 @@
 # UIS-RNN k-fold experiment, tal/diarization/uisrnn/train.py:16-303 +
 # evals.py:31-64). Produces a standing uisrnn_der_pct in $DIR/metrics.json.
 #
-# Runs on CPU (set JAX_PLATFORMS=cpu) so it can proceed while the chip
+# Runs on CPU (set TAL_JAX_PLATFORMS=cpu) so it can proceed while the chip
 # trains. Knobs: DER_ITERS (fit iterations), DER_EPISODES (cap), DER_K.
 set -euo pipefail
 
@@ -13,11 +13,11 @@ ITERS=${DER_ITERS:-2500}
 K=${DER_K:-5}
 
 if [ ! -d "$DIR/diarfeat" ] || [ -z "$(ls "$DIR/diarfeat" 2>/dev/null)" ]; then
-  JAX_PLATFORMS=cpu python -m tal_asrd_tpu.cli.tools diar-features \
+  TAL_JAX_PLATFORMS=cpu python -m tal_asrd_tpu.cli.tools diar-features \
       --data "$DIR/train" --out-dir "$DIR/diarfeat" --features logmel
 fi
 
-JAX_PLATFORMS=cpu python -m tal_asrd_tpu.cli.uisrnn \
+TAL_JAX_PLATFORMS=cpu python -m tal_asrd_tpu.cli.uisrnn \
     --features "$DIR/diarfeat/*.pkl" --mode kfold \
     --observation-dim 160 --rnn-hidden-size 256 \
     --train-iteration "$ITERS" --k-folds "$K" \

@@ -32,19 +32,22 @@ Layout:
 
 import os as _os
 
-if _os.environ.get("JAX_PLATFORMS"):
+if _os.environ.get("TAL_JAX_PLATFORMS"):
     # This environment preimports jax at interpreter startup (an axon
-    # sitecustomize registers the tunneled TPU backend), so JAX_PLATFORMS as a
-    # plain env var is read too early to take effect — a CLI launched with
-    # JAX_PLATFORMS=cpu would silently grab the real TPU and contend with
-    # whatever is training on it. Re-assert the requested platform through
-    # jax.config before any backend is instantiated.
+    # sitecustomize registers the tunneled TPU backend and force-sets
+    # jax_platforms='axon,cpu' AND exports JAX_PLATFORMS=axon), so
+    # JAX_PLATFORMS=cpu as an env var is silently ignored — a CPU-intended
+    # CLI grabs the real TPU and contends with whatever is training on it.
+    # Honoring JAX_PLATFORMS in-process here is also wrong: the ambient
+    # JAX_PLATFORMS=axon would then clobber an explicit in-process pin such
+    # as the test conftest's jax.config.update('jax_platforms','cpu').
+    # A dedicated override var cannot collide with the ambient setting.
     import jax as _jax
 
     try:
-        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+        _jax.config.update("jax_platforms", _os.environ["TAL_JAX_PLATFORMS"])
     except RuntimeError:
-        pass  # backend already instantiated; the env var did take effect
+        pass  # backend already instantiated; nothing safe to do
 
 from tal_asrd_tpu.core.utils import (
     count_parameters,

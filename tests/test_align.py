@@ -53,6 +53,7 @@ def test_mfcc_shape():
     assert np.isfinite(out).all()
 
 
+@pytest.mark.slow
 def test_align_utterance_contract(tmp_path):
     tok = build_tokenizer(str(tmp_path), vocab_size=120)
     cfg = ModelConfig(

@@ -99,6 +99,7 @@ def py_reference_beam(model, variables, enc, prime, k, max_new, vocab, eos):
     return outs
 
 
+@pytest.mark.slow
 def test_beam_matches_python_reference():
     model, variables, enc, cfg = build()
     vocab = cfg.vocab_size + cfg.num_speakers
@@ -120,6 +121,7 @@ def test_beam_matches_python_reference():
         np.testing.assert_allclose(float(out["scores"][i]), ref_score, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_greedy_is_beam_one():
     model, variables, enc, cfg = build(seed=3)
     vocab = cfg.vocab_size + cfg.num_speakers
@@ -154,6 +156,7 @@ def test_greedy_is_beam_one():
         assert got == row, (got, row)
 
 
+@pytest.mark.slow
 def test_speaker_track_collection():
     model, variables, enc, cfg = build(seed=5, use_spk=True)
     prime = jnp.full((2, 1), EOS, jnp.int32)

@@ -121,6 +121,7 @@ def test_checkpoint_manager(tmp_path):
     np.testing.assert_allclose(mgr.average_last(2)["w"], 25.0)
 
 
+@pytest.mark.slow
 def test_trainer_quick_test(tmp_path):
     """fast_dev_run analog: one batch of train+val, one checkpoint written."""
     from tal_asrd_tpu.data import AlignedDataset, BucketedCollater, DataLoader, ShardedSampler

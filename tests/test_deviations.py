@@ -157,6 +157,7 @@ def test_deviation_history_evict_block(trained):
     assert agree >= 0.80, (agree, fast[:32], ref[:32])
 
 
+@pytest.mark.slow
 def test_deviation_padding_mask_modes(trained):
     """Deviation C. The two mask scalings must COINCIDE when the buffer is
     exactly the batch max (the reference's collation, so 'buffer' is exact

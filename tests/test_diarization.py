@@ -101,6 +101,7 @@ def _synthetic_speakers(n_per=12, d=8, seed=0):
     return seq.astype(float), ids
 
 
+@pytest.mark.slow
 def test_uisrnn_fit_and_predict():
     seq, ids = _synthetic_speakers()
     cfg = UISRNNConfig(observation_dim=8, rnn_hidden_size=16, rnn_depth=1)
@@ -137,6 +138,7 @@ def test_uisrnn_save_load(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_wav2vec_feature_geometry():
     model, variables = init_wav2vec()
     audio = np.random.RandomState(0).randn(16000).astype(np.float32) * 0.1
@@ -148,6 +150,7 @@ def test_wav2vec_feature_geometry():
     assert win.shape[0] == feats.shape[0] // 40
 
 
+@pytest.mark.slow
 def test_wav2vec_fairseq_converter_forward_parity():
     """Build a state dict with fairseq wav2vec's exact key/shape layout
     (feature_{extractor,aggregator}.conv_layers.{i}.{j}: bias-free Conv1d at

@@ -40,6 +40,7 @@ def built():
     return model, variables, enc
 
 
+@pytest.mark.slow
 def test_fused_decode_step_matches_flax(built):
     model, variables, enc = built
     fused = FusedASRDecoder(model, interpret=True)
@@ -69,6 +70,7 @@ def test_fused_decode_step_matches_flax(built):
         toks = jnp.argmax(lo_r, -1)[:, None].astype(jnp.int32)
 
 
+@pytest.mark.slow
 def test_fused_prefill_matches_flax(built):
     model, variables, enc = built
     fused = FusedASRDecoder(model, interpret=True)

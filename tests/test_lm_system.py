@@ -24,6 +24,7 @@ def test_lm_dataset_rows(tok):
     assert mask.sum() > 0
 
 
+@pytest.mark.slow
 def test_lm_training_reduces_loss(tok):
     cfg = LMConfig(vocab_size=len(tok), hidden_size=32, n_head=2, n_layers=2,
                    max_positions=32)
@@ -35,6 +36,7 @@ def test_lm_training_reduces_loss(tok):
     assert np.isfinite(ppl) and ppl > 1.0
 
 
+@pytest.mark.slow
 def test_lm_fusion_in_beam_search(tok):
     """lm_weight shifts beam-search scores (system.py:127-138 fusion path)."""
     from tal_asrd_tpu.core.config import FrontendConfig, ModelConfig

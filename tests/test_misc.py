@@ -24,6 +24,7 @@ TINY = ModelConfig(
 FE = FrontendConfig(n_mels=8, n_fft=64, win_length=64, hop_length=32)
 
 
+@pytest.mark.slow
 def test_generation_spotcheck_hook(tmp_path):
     tok = build_tokenizer(str(tmp_path), vocab_size=60)
     cfg = ModelConfig(**{**TINY.__dict__, "vocab_size": len(tok)})

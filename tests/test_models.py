@@ -183,6 +183,7 @@ def test_lm_forward_and_step_parity():
     np.testing.assert_allclose(np.asarray(full), np.asarray(step), atol=2e-4)
 
 
+@pytest.mark.slow
 def test_dropout_only_in_train_mode():
     model, params, cfg = make_model(
         ModelConfig(**{**TINY.__dict__, "dropout": 0.5, "tds_dropout": 0.5})

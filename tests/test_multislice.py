@@ -63,6 +63,7 @@ def test_multislice_mesh_shape_and_batch_spec(mesh):
     assert sh.spec == jax.sharding.PartitionSpec(("dcn", "data"), None)
 
 
+@pytest.mark.slow
 def test_multislice_train_step_matches_single_slice(mesh):
     """One LAMB step on the 2x2x2 multi-slice mesh must match the same step
     on a flat 4x2 single-slice mesh bit-for-bit (hierarchical vs flat
@@ -125,6 +126,7 @@ def test_sharded_async_checkpoint_roundtrip(mesh, tmp_path):
         assert leaf.sharding.is_equivalent_to(tmpl.sharding, leaf.ndim)
 
 
+@pytest.mark.slow
 def test_window_parallel_sharded_decode(mesh):
     """Window-batched decode sharded over the data axes matches the
     unsharded single-device decode bit-for-bit (embarrassingly parallel:

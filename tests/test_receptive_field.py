@@ -31,6 +31,7 @@ def analytic_rf(kernel, depths):
 
 
 @pytest.mark.parametrize("kernel,depths", [(5, (1, 1, 1)), (5, (2, 1, 1))])
+@pytest.mark.slow
 def test_tds_receptive_field(kernel, depths):
     n_mels = 4
     sizes = (n_mels, 8, 12, 16)

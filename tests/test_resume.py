@@ -32,6 +32,7 @@ def tiny_batch(seed=0):
     }
 
 
+@pytest.mark.slow
 def test_full_state_resume_bitexact(tmp_path):
     no_aug = SpecAugmentConfig(num_freq_masks=0, num_time_masks=0)
     tc = TrainConfig(batch_size=2, lr=1e-3, max_steps=100,

@@ -148,6 +148,7 @@ def make_system(**overrides):
     return ASRSystem(TINY, tc, TINY_FRONTEND, dtype=jnp.float32)
 
 
+@pytest.mark.slow
 def test_train_step_reduces_loss_overfit():
     """--overfit-pct analog: a few LAMB steps on one tiny batch must cut the
     loss (the reference's 'can it memorize' sanity check, SURVEY §4)."""
@@ -164,6 +165,7 @@ def test_train_step_reduces_loss_overfit():
     assert int(state.step) == 8
 
 
+@pytest.mark.slow
 def test_grad_accumulation_matches_full_batch():
     """acc=2 over a batch must equal acc=1 on the same data (with train-mode
     RNG effects disabled via dropout=0 and no token replacement).
@@ -198,6 +200,7 @@ def test_grad_accumulation_matches_full_batch():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_speaker_head_training():
     tc = TrainConfig(batch_size=4, lr=1e-3, spk_weight=0.5, max_steps=20)
     cfg = ModelConfig(**{**TINY.__dict__, "use_speaker_head": True})
@@ -212,6 +215,7 @@ def test_speaker_head_training():
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_unknown_speaker_clamp():
     """Speaker-token ids beyond vocab+num_speakers-1 must be clamped in the
     loss path (system.py:533-537) and not index out of bounds."""
@@ -225,6 +229,7 @@ def test_unknown_speaker_clamp():
 
 
 @pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+@pytest.mark.slow
 def test_train_step_on_mesh(mesh_shape):
     """DP and DP x TP training on the virtual 8-device CPU mesh."""
     data, model = mesh_shape
