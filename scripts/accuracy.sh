@@ -71,7 +71,9 @@ fi
 # --shiftaug windows matched to the unaligned decode chunk (357 enc frames)
 # so the full-episode state machine runs in-distribution — the same
 # short-then-long continuation that worked in round 2.
-STEPS1=${ACC_STEPS1:-3000}
+# Phase-1 epochs are ~10 s (short utterances, small graphs): run long and
+# let early stopping cut it — 3000 steps stopped mid-descent (val 3.65).
+STEPS1=${ACC_STEPS1:-14000}
 LR2=${ACC_LR2:-2e-4}
 if [ -z "$(ls "$DIR/ckpts/${NAME}-p1"/ckpt_*.msgpack 2>/dev/null)" ]; then
   python -m tal_asrd_tpu.cli.train \
@@ -86,14 +88,34 @@ if [ -z "$(ls "$DIR/ckpts/${NAME}-p1"/ckpt_*.msgpack 2>/dev/null)" ]; then
       --out-dir "$DIR/out-train"
 fi
 
-if [ -z "$(ls "$DIR/ckpts/$NAME"/ckpt_*.msgpack 2>/dev/null)" ]; then
+# Phase 1b: linear decay kills the LR by the end of phase 1 while val is
+# still falling ~0.12/1.2k steps — a fresh LR cycle on the same short task
+# keeps the descent going (1.47 -> ~1.1 measured) before the long windows.
+STEPS1B=${ACC_STEPS1B:-12000}
+LR1B=${ACC_LR1B:-2e-4}
+if [ "$STEPS1B" -gt 0 ] \
+   && [ -z "$(ls "$DIR/ckpts/${NAME}-p1b"/ckpt_*.msgpack 2>/dev/null)" ]; then
   P1=$(ls -v "$DIR/ckpts/${NAME}-p1"/ckpt_*.msgpack | tail -1)
+  python -m tal_asrd_tpu.cli.train \
+      --train-data "$DIR/train" --valid-data "$DIR/valid" \
+      --tokenizer "$DIR/bpe.model" --model-type 1x \
+      --num-speakers "$SPEAKERS" --batch-size "$BATCH" --max-secs 10 \
+      --num-workers 0 --lr "$LR1B" --max-epochs 1000 --max-steps "$STEPS1B" \
+      --ckpt-every "$CKPT_EVERY" --load "$P1" \
+      --no-specaug --cache-items --audio-int16 \
+      --name "${NAME}-p1b" --checkpoint-path "$DIR/ckpts" \
+      --out-dir "$DIR/out-train"
+fi
+
+if [ -z "$(ls "$DIR/ckpts/$NAME"/ckpt_*.msgpack 2>/dev/null)" ]; then
+  PREV=$(ls -v "$DIR/ckpts/${NAME}-p1b"/ckpt_*.msgpack 2>/dev/null | tail -1)
+  [ -z "$PREV" ] && PREV=$(ls -v "$DIR/ckpts/${NAME}-p1"/ckpt_*.msgpack | tail -1)
   python -m tal_asrd_tpu.cli.train \
       --train-data "$DIR/train" --valid-data "$DIR/valid" \
       --tokenizer "$DIR/bpe.model" --model-type 1x \
       --num-speakers "$SPEAKERS" --batch-size "$BATCH" --max-secs "$MAXSECS" \
       --num-workers 0 --lr "$LR2" --max-epochs 1000 --max-steps "$STEPS" \
-      --ckpt-every "$CKPT_EVERY" --load "$P1" \
+      --ckpt-every "$CKPT_EVERY" --load "$PREV" \
       --no-specaug --shiftaug --cache-items --audio-int16 \
       --name "$NAME" --checkpoint-path "$DIR/ckpts" --out-dir "$DIR/out-train"
 fi
