@@ -186,5 +186,6 @@ json.dump(
     open(f"{d}/metrics.json", "w"))
 print(f"accuracy metrics -> {d}/metrics.json")
 PY
-# Tracked copy at the repo root (accuracy/ itself is gitignored).
-cp "$DIR/metrics.json" "$(dirname "$0")/../ACCURACY.json"
+# Fold standing sidecar metrics (UIS-RNN DER, VAD F1, embed-chain WDER) back
+# in and publish the tracked copy at the repo root (accuracy/ is gitignored).
+python "$(dirname "$0")/merge_metrics.py" "$DIR"
