@@ -95,6 +95,9 @@ def test_eval_runner_aligned(tmp_path, tok, tiny_model):
     assert ref_lines == ["ref one", "ref two"]
 
 
+@pytest.mark.slow  # 33s; the aligned runner test keeps the fast-tier
+# eval-runner representative, and the unaligned machine is covered by
+# test_unaligned.py.
 def test_eval_runner_unaligned(tmp_path, tok, tiny_model):
     model, variables, cfg = tiny_model
     from tal_asrd_tpu.decode.unaligned import UnalignedSpec
@@ -149,6 +152,7 @@ def test_gen_embed_and_contrastive(tmp_path, tok, tiny_model):
     assert acc > 0.5
 
 
+@pytest.mark.slow  # 31s training loop; train-loop coverage lives in test_train.
 def test_sd_system_trains(tmp_path):
     from tal_asrd_tpu.core.config import SpecAugmentConfig
 

@@ -85,6 +85,7 @@ def test_unaligned_window_bounds(setup):
     assert chunks.min() >= 0
 
 
+@pytest.mark.slow  # 22s; evict parity also measured in test_deviations.
 def test_unaligned_small_history_evict(setup):
     # Force the history-full path: tiny history cap with evict block 1
     # (the reference's slide-by-one behavior).
@@ -139,6 +140,8 @@ class _ConstLM:
         return jnp.broadcast_to(self.logits, (b, self.logits.shape[0])), caches
 
 
+@pytest.mark.slow  # 50s; lm-fusion behavior covered fast by
+# test_unaligned_lm_fusion_biases_output.
 def test_unaligned_lm_weight_zero_matches_no_lm(setup):
     """Passing an LM with lm_weight=0 must be bit-identical to no LM."""
     lm, lm_vars = _tiny_lm()

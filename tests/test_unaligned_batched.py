@@ -25,6 +25,8 @@ FE = FrontendConfig(n_mels=8, n_fft=64, win_length=64, hop_length=32,
 EOS = 1
 
 
+@pytest.mark.slow  # 90s bit-parity of the vmapped batch vs single lane;
+# the single-lane machine is covered by test_unaligned.py in the fast tier.
 def test_batched_matches_single():
     model = ASRModel(TINY, FE)
     # Two different-length episodes padded to a common length

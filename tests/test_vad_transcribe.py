@@ -130,6 +130,7 @@ def test_vad_pipeline_resume(tmp_path):
     assert bounds_path.stat().st_mtime_ns == mtime
 
 
+@pytest.mark.slow  # 35s integration; VAD/splice components covered fast above.
 def test_transcriber_end_to_end():
     import jax
     from tal_asrd_tpu.core.config import FrontendConfig, ModelConfig
