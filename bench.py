@@ -39,6 +39,7 @@ from tal_asrd_tpu.decode import BeamSearchSpec, beam_search
 from tal_asrd_tpu.decode.fused_step import FusedASRDecoder
 from tal_asrd_tpu.decode.unaligned import UnalignedSpec, unaligned_decode
 from tal_asrd_tpu.models import ASRModel
+from tal_asrd_tpu.utils.flops import greedy_decode_flops
 
 WINDOW_SECS = 28.56  # 357 encoder frames ~ 28.5 s (system.py:658 chunk)
 SR = 16000
@@ -125,6 +126,13 @@ def main():
         achieved = flops / per_batch
         extras["headline_tflops"] = round(achieved / 1e12, 2)
         extras["headline_mfu_pct"] = round(100.0 * achieved / peak, 2)
+    # Independent analytic count (utils/flops.py) — cross-checks XLA
+    # cost_analysis, whose while-loop trip-count assumptions are opaque.
+    af = greedy_decode_flops(cfg, batch, t, max_new, beam)
+    extras["analytic_tflops"] = round(af / per_batch / 1e12, 2)
+    extras["analytic_mfu_pct"] = round(100.0 * af / per_batch / peak, 2)
+    if flops:
+        extras["xla_vs_analytic_flops"] = round(flops / af, 3)
 
     if not skip_extras:
         # ---- 2. beam-5 aligned decode (reference default) ------------------
