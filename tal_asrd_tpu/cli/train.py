@@ -80,6 +80,23 @@ def build_datasets(args, tokenizer):
         )
         for p in args.valid_data
     ]
+    if args.shiftaug or args.alignaug:
+        # Validate on the TARGET distribution too: without this, val_loss only
+        # tracks single utterances and is blind to whether multi-utterance
+        # windows (the unaligned decode's distribution) are being learned —
+        # round-3 phase-2 plateaus were invisible until decode time.
+        # det_seed fixes each window across epochs so val_loss is comparable.
+        valid_parts += [
+            SegmentDataset(
+                p, tokenizer, segment_size=args.max_secs,
+                speaker_map_loc=os.path.join(p, "speaker_map.json"),
+                tokenizer_speakers=tokenizer_speakers,
+                aligned_truncation=args.alignaug,
+                return_spk_ids=not args.alignaug,
+                det_seed=1234,
+            )
+            for p in args.valid_data
+        ]
     return ConcatDataset(train_parts), ConcatDataset(valid_parts)
 
 

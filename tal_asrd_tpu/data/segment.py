@@ -46,6 +46,7 @@ class SegmentDataset:
         return_spk_ids: bool = False,
         sample_rate: int = DEFAULT_SR,
         rng: Optional[random.Random] = None,
+        det_seed: Optional[int] = None,
     ):
         self.data_dir = data_dir
         self.ext = ext
@@ -60,6 +61,10 @@ class SegmentDataset:
         self.return_spk_ids = return_spk_ids
         self.sample_rate = sample_rate
         self.rng = rng or random
+        # det_seed: derive the window jitter from (seed, item index) instead
+        # of shared RNG state, so a VALIDATION segment set yields identical
+        # windows every epoch (val_loss comparable across epochs/runs).
+        self.det_seed = det_seed
 
         speaker_map = load_speaker_map(speaker_map_loc) if speaker_map_loc else None
         self.speaker_ids = SpeakerIds(
@@ -83,14 +88,16 @@ class SegmentDataset:
             i -= num_segments
 
         assert f_duration >= self.segment_size, (stub, f_duration)
-        jitter = (self.rng.random() - 0.5) * 2 * self.random_segment_shift
+        rng = (random.Random(self.det_seed * 1_000_003 + i)
+               if self.det_seed is not None else self.rng)
+        jitter = (rng.random() - 0.5) * 2 * self.random_segment_shift
         start_time = min(
             max(i * self.segment_shift + jitter, 0.0),
             f_duration - self.segment_size,
         )
         end_time = min(
             start_time
-            + self.rng.random() * (self.segment_size - self.min_segment_size)
+            + rng.random() * (self.segment_size - self.min_segment_size)
             + self.min_segment_size,
             f_duration,
         )
