@@ -23,6 +23,9 @@ import jax.numpy as jnp
 from tal_asrd_tpu.core.config import ModelConfig
 from tal_asrd_tpu.decode import BeamSearchSpec, beam_search
 from tal_asrd_tpu.models import ASRModel
+from tal_asrd_tpu.models.tds import tds_output_length
+from tal_asrd_tpu.utils.flops import (
+    decode_step_flops, encode_flops, mel_frames, prefill_flops)
 
 WINDOW_SECS = 28.56
 SR = 16000
@@ -107,6 +110,15 @@ def main():
         if f_dec:
             row["decode_tflops"] = round(f_dec / t_dec / 1e12, 2)
             row["decode_mfu_pct"] = round(100 * f_dec / t_dec / PEAK, 2)
+        # Analytic cross-check (utils/flops.py): encode + per-step decode
+        # without XLA's while-loop trip-count assumptions.
+        enc_len = tds_output_length(mel_frames(t))
+        a_enc = encode_flops(cfg, batch, t)
+        a_dec = prefill_flops(cfg, batch * args.beam, enc_len) + sum(
+            decode_step_flops(cfg, batch * args.beam, i + 1, enc_len)
+            for i in range(args.steps))
+        row["encode_analytic_mfu_pct"] = round(100 * a_enc / t_enc / PEAK, 2)
+        row["decode_analytic_mfu_pct"] = round(100 * a_dec / t_dec / PEAK, 2)
         report[f"batch_{batch}"] = row
         print(json.dumps({f"batch_{batch}": row}))
 
