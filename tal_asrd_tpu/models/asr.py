@@ -127,14 +127,18 @@ class ASRModel(nn.Module):
     # ------------------------------------------------------------------
     # Encoder side
     # ------------------------------------------------------------------
-    def extract_features(self, audio: jax.Array, train: bool = False, use_specaug: bool = True):
+    def extract_features(self, audio: jax.Array, train: bool = False,
+                         use_specaug: bool = True,
+                         audio_lens: Optional[jax.Array] = None):
         """Raw audio [B, T] -> log-mel [B, F, n_mels] (models.py:154-162).
 
         int16 input is accepted and scaled on-device (halves host->device
-        transfer; wavs are 16-bit PCM at the source, so it is lossless)."""
+        transfer; wavs are 16-bit PCM at the source, so it is lossless).
+        audio_lens enables the bucket-safe masked mean (ops/logmel.py)."""
         if audio.dtype == jnp.int16:
             audio = audio.astype(jnp.float32) / 32768.0
-        mel = log_mel_spectrogram(audio.astype(jnp.float32), self.frontend)
+        mel = log_mel_spectrogram(audio.astype(jnp.float32), self.frontend,
+                                  audio_lens=audio_lens)
         if train and use_specaug:
             mel = spec_augment(self.make_rng("specaug"), mel, self.specaug)
         return mel.astype(self.dtype)
@@ -157,7 +161,7 @@ class ASRModel(nn.Module):
 
     def encode(self, audio: jax.Array, audio_lens: Optional[jax.Array] = None,
                train: bool = False) -> Dict[str, Any]:
-        feats = self.extract_features(audio, train=train)
+        feats = self.extract_features(audio, train=train, audio_lens=audio_lens)
         return self.encode_features(feats, audio_lens, audio.shape[-1], train=train)
 
     # ------------------------------------------------------------------

@@ -41,15 +41,17 @@ class SDModel(nn.Module):
         self.spk_logit_proj = nn.Dense(self.cfg.num_speakers, dtype=self.dtype)
 
     def extract_features(self, audio: jax.Array, train: bool = False,
-                         use_specaug: bool = True) -> jax.Array:
-        mel = log_mel_spectrogram(audio.astype(jnp.float32), self.frontend)
+                         use_specaug: bool = True,
+                         audio_lens: Optional[jax.Array] = None) -> jax.Array:
+        mel = log_mel_spectrogram(audio.astype(jnp.float32), self.frontend,
+                                  audio_lens=audio_lens)
         if train and use_specaug:
             mel = spec_augment(self.make_rng("specaug"), mel, self.specaug)
         return mel.astype(self.dtype)
 
     def encode(self, audio: jax.Array, audio_lens: Optional[jax.Array] = None,
                train: bool = False) -> Dict[str, Any]:
-        feats = self.extract_features(audio, train=train)
+        feats = self.extract_features(audio, train=train, audio_lens=audio_lens)
         h = self.encoder(feats, train=train)
         mask = None
         if audio_lens is not None:

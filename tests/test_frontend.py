@@ -123,6 +123,39 @@ def test_log_mel_shape_and_mean_subtraction():
     assert mel_raw.min() >= np.log(1e-6) - 1e-5
 
 
+def test_log_mel_masked_mean_bucket_invariant():
+    """With audio_lens, the feature values of REAL frames must not depend on
+    how much bucket padding follows (the round-3 poison: padded-batch scalar
+    mean shifted identical audio by the padding fraction; measured CE 0.99
+    -> 3.17 re-collating the same utterances into a 30 s bucket)."""
+    rng = np.random.RandomState(2)
+    wav = rng.randn(2, 24000).astype(np.float32) * 0.05
+    lens = jnp.asarray([24000, 16000])
+    tight = np.zeros((2, 32000), np.float32)
+    tight[0, :24000], tight[1, :16000] = wav[0], wav[1, :16000]
+    loose = np.zeros((2, 96000), np.float32)
+    loose[0, :24000], loose[1, :16000] = wav[0], wav[1, :16000]
+    mt = np.asarray(log_mel_spectrogram(jnp.asarray(tight), CFG, audio_lens=lens))
+    ml = np.asarray(log_mel_spectrogram(jnp.asarray(loose), CFG, audio_lens=lens))
+    n_real = 24000 // CFG.hop_length + 1
+    np.testing.assert_allclose(mt[0, :n_real], ml[0, :n_real], atol=2e-5)
+    # Padded-mode (no lens) must NOT be invariant — that is the reference
+    # quirk the masked mode exists to neutralize under bucketing.
+    pt = np.asarray(log_mel_spectrogram(jnp.asarray(tight), CFG))
+    pl_ = np.asarray(log_mel_spectrogram(jnp.asarray(loose), CFG))
+    assert abs(float(pt[0, 0].mean() - pl_[0, 0].mean())) > 0.5
+
+
+def test_log_mel_masked_mean_matches_padded_when_full():
+    """No padding => masked mean is bit-identical to the reference path."""
+    rng = np.random.RandomState(3)
+    audio = rng.randn(2, 32000).astype(np.float32) * 0.05
+    lens = jnp.asarray([32000, 32000])
+    a = np.asarray(log_mel_spectrogram(jnp.asarray(audio), CFG))
+    b = np.asarray(log_mel_spectrogram(jnp.asarray(audio), CFG, audio_lens=lens))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
 def test_log_mel_jit_and_grad_safe():
     # The frontend must be traceable (static shapes) and non-NaN on silence.
     f = jax.jit(lambda a: log_mel_spectrogram(a, CFG))
