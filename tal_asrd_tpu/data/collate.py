@@ -88,8 +88,9 @@ class SDCollater:
     """Speaker-ID batches for SDModel training (baseline_speaker.py:214-242)."""
 
     def __init__(self, audio_bucket_seconds: Sequence[float] = (5, 10, 20),
-                 sample_rate: int = DEFAULT_SR):
+                 sample_rate: int = DEFAULT_SR, audio_int16: bool = False):
         self.audio_buckets = [int(s * sample_rate) for s in audio_bucket_seconds]
+        self.audio_int16 = audio_int16
 
     def __call__(self, samples):
         wavs, sids, idxs = zip(*samples)

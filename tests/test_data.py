@@ -222,3 +222,19 @@ def test_collater_int16_roundtrip_lossless():
     # on-device rescale reproduces the float input exactly
     np.testing.assert_array_equal(
         b["audio"][0, :16000].astype(np.float32) / 32768.0, w)
+
+
+def test_sd_collater_shapes_and_int16():
+    """SDCollater must be constructible with defaults (a missing
+    audio_int16 attr crashed every cli.train_sd run) and honor int16."""
+    import numpy as np
+    from tal_asrd_tpu.data.collate import SDCollater
+
+    items = [(np.ones(8000, np.float32) * 0.5, 3, 0),
+             (np.ones(4000, np.float32) * 0.25, 1, 1)]
+    out = SDCollater()(items)
+    assert out["audio"].shape == (2, 80000) and out["audio"].dtype == np.float32
+    assert list(out["speaker"]) == [3, 1] and list(out["audio_lens"]) == [8000, 4000]
+    out16 = SDCollater(audio_int16=True)(items)
+    assert out16["audio"].dtype == np.int16
+    assert out16["audio"][0, 0] == np.int16(np.rint(0.5 * 32768.0).clip(-32768, 32767))
