@@ -1,0 +1,58 @@
+#!/usr/bin/env bash
+# Round-3 accuracy training chain, restartable across TPU-tunnel crashes.
+#
+#   phase p1c : short-task adaptation (max-secs 10) of the p1b checkpoint to
+#               the bucket-safe masked log-mel frontend (commit ea6b274 —
+#               features are now occupancy-independent, so the old weights
+#               must re-adapt before long-window training).
+#   phase p2  : long multi-utterance shiftaug windows (28.5 s ~ the 357-frame
+#               unaligned decode chunk) — the round-2 VERDICT #1 fix.
+#   eval      : scripts/accuracy.sh (aligned + unaligned WER/WDER)
+#               -> scripts/embed_chain.sh -> merge_metrics.py.
+#
+# Each train phase retries up to $RETRIES times on a nonzero exit (the axon
+# tunnel sporadically kills the TPU worker mid-run); a retry warm-starts from
+# the latest checkpoint the phase already wrote, so no chip time is lost.
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+RETRIES=${RETRIES:-4}
+
+train_phase() {  # name load_ckpt max_secs max_steps extra...
+  local name=$1 load=$2 secs=$3 steps=$4; shift 4
+  local attempt=0
+  while :; do
+    local cur="$load"
+    local latest
+    latest=$(ls -v "accuracy/ckpts/$name"/ckpt_*.msgpack 2>/dev/null | tail -1 || true)
+    [ -n "$latest" ] && cur="$latest"
+    python -m tal_asrd_tpu.cli.train \
+      --train-data accuracy/train --valid-data accuracy/valid \
+      --tokenizer accuracy/bpe.model --model-type 1x --num-speakers 8 \
+      --batch-size 16 --max-secs "$secs" --num-workers 0 --lr 2e-4 \
+      --max-epochs 1000 --max-steps "$steps" --ckpt-every 5 \
+      --load "$cur" --no-specaug --cache-items --audio-int16 \
+      --name "$name" --checkpoint-path accuracy/ckpts \
+      --out-dir accuracy/out-train "$@" && return 0
+    attempt=$((attempt + 1))
+    [ "$attempt" -ge "$RETRIES" ] && { echo "phase $name failed after $RETRIES attempts"; return 1; }
+    echo "phase $name attempt $attempt failed; retrying in 60s from latest ckpt"
+    sleep 60
+  done
+}
+
+set -x
+# Stale-ckpt guard: the resume logic warm-starts from the latest ckpt in the
+# phase dir, so dirs left over from PREVIOUS chains must be moved aside once
+# (marker file scoped to this chain version).
+if [ ! -f accuracy/ckpts/.r3_chain_v1 ]; then
+  for d in acc1x acc1x-p1c; do
+    [ -d "accuracy/ckpts/$d" ] && mv "accuracy/ckpts/$d" "accuracy/ckpts/pre-r3chain-$d"
+  done
+  touch accuracy/ckpts/.r3_chain_v1
+fi
+
+train_phase acc1x-p1c accuracy/ckpts/acc1x-p1b/ckpt_00012000.msgpack 10 6000 || exit 1
+P1C=$(ls -v accuracy/ckpts/acc1x-p1c/ckpt_*.msgpack | tail -1)
+train_phase acc1x "$P1C" 28.5 10000 --shiftaug || exit 1
+bash scripts/accuracy.sh && bash scripts/embed_chain.sh && python scripts/merge_metrics.py accuracy
