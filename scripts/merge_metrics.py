@@ -15,7 +15,8 @@ import json
 import os
 import sys
 
-SIDECARS = ("uisrnn_metrics.json", "vad_metrics.json", "embed_metrics.json")
+SIDECARS = ("uisrnn_metrics.json", "vad_metrics.json", "embed_metrics.json",
+            "sad_metrics.json")
 
 
 def merge(acc_dir: str = "accuracy") -> dict:
