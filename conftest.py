@@ -21,4 +21,13 @@ import jax  # noqa: E402  (possibly already imported by sitecustomize)
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: the fast tier's wall time on this 1-core
+# box is dominated by CPU compiles of while_loop decode graphs (~35-55 s
+# each). Entries are keyed by HLO hash, so source changes recompile exactly
+# the graphs they alter; unchanged tests hit the cache and drop to trace+load
+# time. ~60 MB steady-state under ~/.cache.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/tal_asrd_tpu_jax"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
