@@ -58,6 +58,8 @@ def main():
     ap.add_argument("--steps", type=int, default=96)
     ap.add_argument("--trace", default=None)
     ap.add_argument("--beam", type=int, default=1)
+    ap.add_argument("--json-out", default=None,
+                    help="write the per-stage report to this file")
     args = ap.parse_args()
 
     t = int(WINDOW_SECS * SR)
@@ -130,6 +132,9 @@ def main():
             print(f"trace written to {args.trace}")
 
     print(json.dumps(report))
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(report, f, indent=1)
 
 
 if __name__ == "__main__":
