@@ -21,13 +21,20 @@ SIDECARS = ("uisrnn_metrics.json", "vad_metrics.json", "embed_metrics.json",
 
 def merge(acc_dir: str = "accuracy") -> dict:
     base_path = os.path.join(acc_dir, "metrics.json")
-    base = json.load(open(base_path))
+    root = os.path.dirname(os.path.abspath(acc_dir))
+    if os.path.exists(base_path):
+        base = json.load(open(base_path))
+    elif os.path.exists(os.path.join(root, "ACCURACY.json")):
+        # no fresh accuracy.sh run yet — keep the standing headline numbers
+        # and fold the new sidecars over them
+        base = json.load(open(os.path.join(root, "ACCURACY.json")))
+    else:
+        base = {}
     for name in SIDECARS:
         p = os.path.join(acc_dir, name)
         if os.path.exists(p):
             base.update(json.load(open(p)))
     json.dump(base, open(base_path, "w"))
-    root = os.path.dirname(os.path.abspath(acc_dir))
     json.dump(base, open(os.path.join(root, "ACCURACY.json"), "w"))
     return base
 
