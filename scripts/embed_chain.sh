@@ -13,6 +13,17 @@ DIR=${ACC_DIR:-accuracy}
 SPEAKERS=${ACC_SPEAKERS:-8}
 STEPS=${EMBED_STEPS:-2000}
 
+# Staleness guard: every skip-if-exists artifact below derives from
+# avg_last_3.msgpack — anything older than the checkpoint belongs to a
+# previous training run and must be rebuilt, never reused (same provenance
+# rule as accuracy.sh's summary guard).
+for f in "$DIR/spk.train.pkl" "$DIR/spk.valid.pkl" "$DIR/embed_head.msgpack"; do
+  if [ -f "$f" ] && [ "$f" -ot "$DIR/avg_last_3.msgpack" ]; then
+    echo "embed_chain: $f is older than avg_last_3.msgpack — rebuilding" >&2
+    rm -f "$f"
+  fi
+done
+
 # 1. Export expected speaker embeddings over the train split (teacher-forced).
 if [ ! -f "$DIR/spk.train.pkl" ]; then
   python -m tal_asrd_tpu.cli.gen_embed \

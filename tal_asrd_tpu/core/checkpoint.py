@@ -28,10 +28,17 @@ from flax import serialization
 
 
 def save_pytree(path: str, tree: Any) -> None:
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    """Atomic write (tmp + rename): checkpoints are the resume point for
+    crash/kill recovery, so a writer killed mid-save must never leave a
+    truncated msgpack at the final path (a corrupt 'latest' checkpoint turns
+    every retry into a load crash)."""
+    path = os.path.abspath(path)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
     host = jax.tree_util.tree_map(np.asarray, tree)
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(host))
+    os.replace(tmp, path)
 
 
 def load_pytree(path: str, target: Any = None) -> Any:
