@@ -14,21 +14,35 @@ BATCHES=${SWEEP_BATCHES:-"32 64 128 256"}
 OUT=PERF_SWEEP.jsonl
 : > "$OUT"
 
-for b in $BATCHES; do
-  for fused in 0 1; do
-    echo "--- batch=$b fused=$fused" >&2
-    line=$(BENCH_BATCH=$b BENCH_FUSED=$fused BENCH_SKIP_EXTRAS=1 \
-           BENCH_ITERS=6 timeout 900 python bench.py | tail -1)
-    if [ -n "$line" ]; then
-      echo "$line" | python - "$b" "$fused" >> "$OUT" <<'PY'
+# Fused rows also grid the per-kernel batch block (VMEM residency knob): the
+# 2x layer's weights + KV blocks at block 8 sit near the VMEM budget, so a
+# single hardcoded block could OOM and silently lose every fused data point.
+FUSED_BLOCKS=${SWEEP_FUSED_BLOCKS:-"4 8"}
+
+run_one() {  # batch fused block
+  local b=$1 fused=$2 blk=$3
+  echo "--- batch=$b fused=$fused block=$blk" >&2
+  local line
+  line=$(BENCH_BATCH=$b BENCH_FUSED=$fused BENCH_FUSED_BLOCK=$blk \
+         BENCH_SKIP_EXTRAS=1 BENCH_ITERS=6 timeout 900 python bench.py \
+         | tail -1)
+  if [ -n "$line" ]; then
+    echo "$line" | python - "$b" "$fused" "$blk" >> "$OUT" <<'PY'
 import json, sys
 row = json.loads(sys.stdin.read())
 row["batch"] = int(sys.argv[1]); row["fused"] = int(sys.argv[2])
+row["fused_block"] = int(sys.argv[3])
 print(json.dumps(row))
 PY
-    else
-      echo "{\"batch\": $b, \"fused\": $fused, \"error\": \"bench failed\"}" >> "$OUT"
-    fi
+  else
+    echo "{\"batch\": $b, \"fused\": $fused, \"fused_block\": $blk, \"error\": \"bench failed\"}" >> "$OUT"
+  fi
+}
+
+for b in $BATCHES; do
+  run_one "$b" 0 8
+  for blk in $FUSED_BLOCKS; do
+    run_one "$b" 1 "$blk"
   done
 done
 
