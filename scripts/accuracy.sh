@@ -121,19 +121,33 @@ if [ -z "$(ls "$DIR/ckpts/$NAME"/ckpt_*.msgpack 2>/dev/null)" ]; then
 fi
 
 # Average the last 3 epoch checkpoints (the reference's avg_last_5.pt flow,
-# tal/utils/average_weights.py:13-29 / transcribe.py:217).
-python -m tal_asrd_tpu.cli.tools average-ckpt \
-    --ckpt-dir "$DIR/ckpts/$NAME" --last-k 3 --out "$DIR/avg_last_3.msgpack"
+# tal/utils/average_weights.py:13-29 / transcribe.py:217). Skip when the
+# existing average is newer than every source checkpoint — rewriting it would
+# reset the freshness clock the eval legs below key their skip logic off.
+NEWEST_CKPT=$(ls -v "$DIR/ckpts/$NAME"/ckpt_*.msgpack | tail -1)
+if [ ! -f "$DIR/avg_last_3.msgpack" ] \
+   || [ "$NEWEST_CKPT" -nt "$DIR/avg_last_3.msgpack" ]; then
+  python -m tal_asrd_tpu.cli.tools average-ckpt \
+      --ckpt-dir "$DIR/ckpts/$NAME" --last-k 3 --out "$DIR/avg_last_3.msgpack"
+fi
 
 # Aligned eval (the reference's headline WER surface: per-utterance decode,
 # system.py:625-762) AND unaligned eval (the long-form product path:
 # full-episode state machine). Both go through the same wder-format + wder
 # CLIs; metrics.json carries both.
-python -m tal_asrd_tpu.cli.test \
-    --train-data "$DIR/train" --valid-data "$DIR/valid" --test-data "$DIR/test" \
-    --tokenizer "$DIR/bpe.model" --model-type 1x --num-speakers "$SPEAKERS" \
-    --num-workers 0 --load "$DIR/avg_last_3.msgpack" \
-    --out-dir "$DIR/out-test-aligned"
+#
+# The decode legs are skip-if-fresh (test_result newer than the evaluated
+# checkpoint): a crash-and-relaunch cycle later in the chain must not pay
+# for hours of re-decoding legs that already completed for this checkpoint.
+fresh() { [ -f "$1" ] && [ "$1" -nt "$DIR/avg_last_3.msgpack" ]; }
+
+if ! fresh "$DIR/out-test-aligned/test_result.pkl"; then
+  python -m tal_asrd_tpu.cli.test \
+      --train-data "$DIR/train" --valid-data "$DIR/valid" --test-data "$DIR/test" \
+      --tokenizer "$DIR/bpe.model" --model-type 1x --num-speakers "$SPEAKERS" \
+      --num-workers 0 --load "$DIR/avg_last_3.msgpack" \
+      --out-dir "$DIR/out-test-aligned"
+fi
 
 python -m tal_asrd_tpu.cli.tools wder-format \
     --test-result "$DIR/out-test-aligned/test_result.pkl" \
@@ -142,11 +156,13 @@ python -m tal_asrd_tpu.cli.tools wder-format \
 python -m tal_asrd_tpu.cli.wder --eval-file "$DIR/wder_ready_aligned.pkl" \
     --workers 1
 
-python -m tal_asrd_tpu.cli.test \
-    --train-data "$DIR/train" --valid-data "$DIR/valid" --test-data "$DIR/test" \
-    --tokenizer "$DIR/bpe.model" --model-type 1x --num-speakers "$SPEAKERS" \
-    --num-workers 0 --unaligned --load "$DIR/avg_last_3.msgpack" \
-    --out-dir "$DIR/out-test"
+if ! fresh "$DIR/out-test/test_result.pkl"; then
+  python -m tal_asrd_tpu.cli.test \
+      --train-data "$DIR/train" --valid-data "$DIR/valid" --test-data "$DIR/test" \
+      --tokenizer "$DIR/bpe.model" --model-type 1x --num-speakers "$SPEAKERS" \
+      --num-workers 0 --unaligned --load "$DIR/avg_last_3.msgpack" \
+      --out-dir "$DIR/out-test"
+fi
 
 python -m tal_asrd_tpu.cli.tools wder-format \
     --test-result "$DIR/out-test/test_result.pkl" --out "$DIR/wder_ready.pkl"
