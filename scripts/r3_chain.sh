@@ -18,22 +18,44 @@ cd "$(dirname "$0")/.."
 
 RETRIES=${RETRIES:-4}
 
+phase_done() {  # name max_steps
+  # A phase is complete when it has a success marker, or its newest ckpt hit
+  # the step target. Both are needed: params-only loads reset the trainer's
+  # step counter, so (a) a relaunched chain would otherwise RE-TRAIN finished
+  # phases from their own final weights, and (b) a phase finished on a RESUMED
+  # attempt writes renumbered ckpts that never reach the nominal target.
+  [ -f "accuracy/ckpts/$1/.done" ] && return 0
+  local latest step
+  latest=$(ls -v "accuracy/ckpts/$1"/ckpt_*.msgpack 2>/dev/null | tail -1 || true)
+  [ -n "$latest" ] || return 1
+  step=$(basename "$latest" .msgpack); step=$((10#${step#ckpt_}))
+  [ "$step" -ge "$2" ]
+}
+
 train_phase() {  # name load_ckpt max_secs max_steps extra...
   local name=$1 load=$2 secs=$3 steps=$4; shift 4
   local attempt=0
   while :; do
+    if phase_done "$name" "$steps"; then
+      echo "phase $name complete; skipping"
+      touch "accuracy/ckpts/$name/.done"
+      return 0
+    fi
     local cur="$load"
     local latest
     latest=$(ls -v "accuracy/ckpts/$name"/ckpt_*.msgpack 2>/dev/null | tail -1 || true)
     [ -n "$latest" ] && cur="$latest"
-    python -m tal_asrd_tpu.cli.train \
+    if python -m tal_asrd_tpu.cli.train \
       --train-data accuracy/train --valid-data accuracy/valid \
       --tokenizer accuracy/bpe.model --model-type 1x --num-speakers 8 \
       --batch-size 16 --max-secs "$secs" --num-workers 0 --lr 2e-4 \
       --max-epochs 1000 --max-steps "$steps" --ckpt-every 5 \
       --load "$cur" --no-specaug --cache-items --audio-int16 \
       --name "$name" --checkpoint-path accuracy/ckpts \
-      --out-dir accuracy/out-train "$@" && return 0
+      --out-dir accuracy/out-train "$@"; then
+      touch "accuracy/ckpts/$name/.done"
+      return 0
+    fi
     attempt=$((attempt + 1))
     [ "$attempt" -ge "$RETRIES" ] && { echo "phase $name failed after $RETRIES attempts"; return 1; }
     echo "phase $name attempt $attempt failed; retrying in 60s from latest ckpt"
