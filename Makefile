@@ -3,7 +3,7 @@
 NATIVE_SRCS := native/editdist.cpp native/fastbpe.cpp
 NATIVE_LIBS := native/build/libeditdist.so native/build/libfastbpe.so
 
-.PHONY: all native test test-fast test-smoke bench accuracy clean
+.PHONY: all native test test-fast test-smoke smoke-chain bench accuracy clean
 
 all: native
 
@@ -30,6 +30,12 @@ test-smoke: native
 # chain. Tune scale with ACC_EPISODES / ACC_STEPS. See scripts/accuracy.sh.
 accuracy: native
 	bash scripts/accuracy.sh
+
+# CPU smoke of the FULL accuracy + embed-chain CLI surface (~8 min) via a
+# debug-tiny architecture; catches CLI/shell breakage before burning chip
+# time. See scripts/smoke_accuracy.sh.
+smoke-chain: native
+	bash scripts/smoke_accuracy.sh
 
 bench: native
 	python bench.py

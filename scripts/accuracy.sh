@@ -32,6 +32,9 @@ LR=${ACC_LR:-4e-4}
 LOAD=${ACC_LOAD:-}   # optional warm-start params checkpoint (strict partial)
 WARM=${ACC_WARM:-}   # optional warm start w/ speaker-embedding expansion
 CKPT_EVERY=${ACC_CKPT_EVERY:-5}   # epoch-ckpt I/O dominates small-corpus epochs
+EP_SECS=${ACC_EPISODE_SECS:-120}  # train/valid episode length
+TEST_SECS=${ACC_TEST_SECS:-180}   # test episode length (must exceed the
+                                  # 28.5 s unaligned window)
 
 mkdir -p "$DIR"
 
@@ -39,11 +42,11 @@ mkdir -p "$DIR"
 if [ ! -f "$DIR/train/transcript.pkl" ] || [ ! -f "$DIR/train/.corpus_v2" ]; then
   rm -rf "$DIR/train" "$DIR/valid" "$DIR/test"
   python -m tal_asrd_tpu.cli.tools synth-corpus --out-dir "$DIR/train" \
-      --episodes "$EPISODES" --episode-seconds 120 --speakers "$SPEAKERS" --seed 0
+      --episodes "$EPISODES" --episode-seconds "$EP_SECS" --speakers "$SPEAKERS" --seed 0
   python -m tal_asrd_tpu.cli.tools synth-corpus --out-dir "$DIR/valid" \
-      --episodes 3 --episode-seconds 120 --speakers "$SPEAKERS" --seed 101
+      --episodes 3 --episode-seconds "$EP_SECS" --speakers "$SPEAKERS" --seed 101
   python -m tal_asrd_tpu.cli.tools synth-corpus --out-dir "$DIR/test" \
-      --episodes "$TEST_EPISODES" --episode-seconds 180 --speakers "$SPEAKERS" --seed 202
+      --episodes "$TEST_EPISODES" --episode-seconds "$TEST_SECS" --speakers "$SPEAKERS" --seed 202
   touch "$DIR/train/.corpus_v2"
 fi
 
@@ -153,8 +156,9 @@ python -m tal_asrd_tpu.cli.tools wder-format \
     --test-result "$DIR/out-test-aligned/test_result.pkl" \
     --out "$DIR/wder_ready_aligned.pkl"
 
+WDER_FLAGS=${ACC_WDER_FLAGS:-}   # e.g. --allow-degenerate (CPU smokes only)
 python -m tal_asrd_tpu.cli.wder --eval-file "$DIR/wder_ready_aligned.pkl" \
-    --workers 1
+    --workers 1 $WDER_FLAGS
 
 if ! fresh "$DIR/out-test/test_result.pkl"; then
   python -m tal_asrd_tpu.cli.test \
@@ -167,7 +171,8 @@ fi
 python -m tal_asrd_tpu.cli.tools wder-format \
     --test-result "$DIR/out-test/test_result.pkl" --out "$DIR/wder_ready.pkl"
 
-python -m tal_asrd_tpu.cli.wder --eval-file "$DIR/wder_ready.pkl" --workers 1
+python -m tal_asrd_tpu.cli.wder --eval-file "$DIR/wder_ready.pkl" --workers 1 \
+    $WDER_FLAGS
 
 # Summarize the dumped metrics pickles into metrics.json; bench.py folds
 # these into its JSON line (standing WER/WDER regression, VERDICT r1 #1).

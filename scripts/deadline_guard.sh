@@ -1,0 +1,88 @@
+#!/usr/bin/env bash
+# Round-end guard for the unattended r3 chain (single exclusive TPU chip,
+# axon tunnel that fails by hanging). Two tripwires, both by absolute UTC
+# wall-clock, designed to guarantee the round still publishes artifacts even
+# if the overnight tunnel outage eats most of the training budget:
+#
+#   PUBLISH_AT (default 04:00): if phase p2 (acc1x) hasn't finished, mark the
+#     training phases done (they have checkpoints) and kill the in-flight
+#     train child so the relaunched/continuing chain goes straight to the
+#     eval legs — a real ACCURACY.json from a partially-trained checkpoint
+#     beats no update at all.
+#
+#   FREE_AT (default 06:55): kill the watchdog, the chain, and every
+#     descendant so the chip is free for the driver's end-of-round bench.
+#
+# PIDs are resolved strictly by tree walks from recorded pidfiles — never by
+# pattern match.
+set -u
+cd "$(dirname "$0")/.."
+
+PUBLISH_AT=${PUBLISH_AT:-04:00}
+FREE_AT=${FREE_AT:-06:55}
+
+epoch_today_or_tomorrow() {  # HH:MM -> epoch s (next occurrence)
+  local t
+  t=$(date -d "today $1" +%s)
+  [ "$t" -le "$(date +%s)" ] && t=$(date -d "tomorrow $1" +%s)
+  echo "$t"
+}
+
+descendants() {
+  local queue=("$1") out=()
+  while [ ${#queue[@]} -gt 0 ]; do
+    local pid=${queue[0]}; queue=("${queue[@]:1}")
+    local kids
+    kids=$(ps -o pid= --ppid "$pid" 2>/dev/null)
+    for k in $kids; do out+=("$k"); queue+=("$k"); done
+  done
+  echo "${out[@]:-}"
+}
+
+kill_train_child() {  # kill only the cli.train descendant of the chain
+  local chain
+  chain=$(cat /tmp/r3_chain.pid 2>/dev/null) || return 0
+  for p in $(descendants "$chain"); do
+    local cmd
+    cmd=$(tr '\0' ' ' < "/proc/$p/cmdline" 2>/dev/null || true)
+    case "$cmd" in
+      python*tal_asrd_tpu.cli.train*)
+        echo "[deadline] killing train child $p"
+        kill "$p" 2>/dev/null; sleep 5
+        kill -0 "$p" 2>/dev/null && kill -9 "$p" 2>/dev/null ;;
+    esac
+  done
+}
+
+PUB_T=$(epoch_today_or_tomorrow "$PUBLISH_AT")
+FREE_T=$(epoch_today_or_tomorrow "$FREE_AT")
+
+# --- tripwire 1: force-publish ---------------------------------------------
+while [ "$(date +%s)" -lt "$PUB_T" ]; do
+  [ -f accuracy/ckpts/acc1x/.done ] && break
+  sleep 120
+done
+if [ ! -f accuracy/ckpts/acc1x/.done ]; then
+  if ls accuracy/ckpts/acc1x/ckpt_*.msgpack >/dev/null 2>&1; then
+    echo "[deadline] $PUBLISH_AT reached with p2 unfinished; forcing eval legs"
+    touch accuracy/ckpts/acc1x-p1c/.done accuracy/ckpts/acc1x/.done
+    kill_train_child
+  else
+    echo "[deadline] $PUBLISH_AT reached but acc1x has NO checkpoints; leaving chain alone"
+  fi
+fi
+
+# --- tripwire 2: free the chip ----------------------------------------------
+while [ "$(date +%s)" -lt "$FREE_T" ]; do sleep 60; done
+echo "[deadline] $FREE_AT reached; freeing the chip for the end-of-round bench"
+WD=$(cat /tmp/watchdog.pid 2>/dev/null || true)
+CH=$(cat /tmp/r3_chain.pid 2>/dev/null || true)
+for root in $WD $CH; do
+  [ -n "$root" ] || continue
+  kids=$(descendants "$root")
+  kill "$root" 2>/dev/null
+  for p in $kids; do kill "$p" 2>/dev/null; done
+  sleep 5
+  for p in $root $kids; do kill -0 "$p" 2>/dev/null && kill -9 "$p" 2>/dev/null; done
+done
+echo "[deadline] done at $(date)"

@@ -43,13 +43,15 @@ fi
 # 3. Clustering WDER over the aligned test results: raw 64-d expected
 #    embeddings and metric-head 10-d embeddings, agglomerative/cos_dist
 #    (the reference grid's usual winner; full grid via cli.wder_search).
+WDER_FLAGS=${ACC_WDER_FLAGS:-}   # e.g. --allow-degenerate (CPU smokes only)
 python -m tal_asrd_tpu.cli.wder --eval-file "$DIR/wder_ready_aligned.pkl" \
-    --workers 1 --cluster --cluster-method agglomerative --metric cos_dist
+    --workers 1 --cluster --cluster-method agglomerative --metric cos_dist \
+    $WDER_FLAGS
 mv "$DIR/wder_ready_aligned-wder.pkl" "$DIR/wder_cluster_raw.pkl"
 
 python -m tal_asrd_tpu.cli.wder --eval-file "$DIR/wder_ready_aligned.pkl" \
     --workers 1 --cluster --cluster-method agglomerative --metric cos_dist \
-    --embed-head "$DIR/embed_head.msgpack"
+    --embed-head "$DIR/embed_head.msgpack" $WDER_FLAGS
 mv "$DIR/wder_ready_aligned-wder.pkl" "$DIR/wder_cluster_head.pkl"
 
 python - "$DIR" <<'PY'

@@ -102,13 +102,24 @@ def build_configs(args, tokenizer=None):
     num_tokens from len(tokenizer) + num_speakers, tal/asr/models.py:103-117;
     without it the ModelConfig default of 10000 — the TAL BPE size — is kept).
     """
+    import os
+
     from tal_asrd_tpu.core.config import DecodeConfig, ModelConfig, TrainConfig
 
+    tiny = {}
+    if os.environ.get("TAL_TINY_ARCH"):
+        # Debug-only shrink for CPU smokes of the full CLI chain (the real 1x
+        # model is ~98 s/step on this 1-core host). Train AND eval legs must
+        # both run with the env var set or checkpoint shapes mismatch loudly.
+        tiny = dict(tds_depths=(1, 1, 1), width_mult=0.1, d_decoder_override=64)
+        print("[args] TAL_TINY_ARCH set: depths (1,1,1), width_mult 0.1, "
+              "d_decoder 64 — debug smoke architecture, NOT the 1x/2x model")
     model_cfg = ModelConfig(
         model_type=args.model_type,
         num_speakers=args.num_speakers,
         use_speaker_head=args.spk_weight > 0,
         **({"vocab_size": len(tokenizer)} if tokenizer is not None else {}),
+        **tiny,
     )
     train_cfg = TrainConfig(
         batch_size=args.batch_size,

@@ -40,6 +40,10 @@ def main(argv=None):
                    help="hyper-search clustering params (wder.py:408-441 "
                         "gp_minimize analog: seeded random search, 10 calls)")
     p.add_argument("--n-calls", type=int, default=10)
+    p.add_argument("--allow-degenerate", action="store_true", default=False,
+                   help="score worst-case (WER/WDER 100%%) instead of "
+                        "erroring when EVERY segment is skipped; for CPU "
+                        "smokes of the chain on untrained models")
     args = p.parse_args(argv)
 
     np.random.seed(2020)
@@ -90,6 +94,7 @@ def main(argv=None):
             paired_results, wer_only=args.wer_only, workers=args.workers,
             should_cluster=args.cluster, cluster_fn=cluster_fn,
             tokenizer=tok_fn, verbose=True,
+            allow_degenerate=args.allow_degenerate,
         )
     stub = os.path.basename(args.eval_file).split(".", 1)[0]
     out = os.path.join(os.path.dirname(args.eval_file), f"{stub}-wder.pkl")

@@ -75,6 +75,12 @@ class ModelConfig:
     # 'batch_max' (exact reference parity, models.py:177-187) — see
     # encoder_padding_mask and tests/test_deviations.py.
     pad_mask_mode: str = "buffer"
+    # Debug-only architecture shrink (CPU smokes of the full CLI chain on the
+    # 1-core box; see scripts/smoke_accuracy.sh). width_mult scales the TDS
+    # group widths (10/14/18 per-mel channels), d_decoder_override replaces
+    # the model_type-derived decoder width. Production paths never set these.
+    width_mult: float = 1.0
+    d_decoder_override: Optional[int] = None
 
     def __post_init__(self):
         if self.model_type not in ("1x", "2x"):
@@ -83,10 +89,16 @@ class ModelConfig:
     @property
     def tds_channels(self) -> Tuple[int, ...]:
         n = self.n_mels
+        if self.width_mult != 1.0:
+            # Widths stay integer multiples of n_mels (TDS grouped-conv view).
+            return (n,) + tuple(max(1, round(w * self.width_mult)) * n
+                                for w in (10, 14, 18))
         return (n, 10 * n, 14 * n, 18 * n)
 
     @property
     def d_decoder(self) -> int:
+        if self.d_decoder_override is not None:
+            return self.d_decoder_override
         return 256 if self.model_type == "1x" else 512
 
     @property

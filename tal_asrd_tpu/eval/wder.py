@@ -177,7 +177,8 @@ def wder_segment(seg_id, ref_us, hyp_us, wer_only,
 
 def corpus_wder(paired_results, wer_only: bool = False, workers: int = 1,
                 should_cluster: bool = False, cluster_fn=None,
-                tokenizer=word_tokenize, verbose: bool = False, **kwargs):
+                tokenizer=word_tokenize, verbose: bool = False,
+                allow_degenerate: bool = False, **kwargs):
     """Corpus aggregation (wder.py:259-288): mean WDER over segments,
     WER = sum(dist) / sum(ref words)."""
     jobs = [
@@ -206,6 +207,13 @@ def corpus_wder(paired_results, wer_only: bool = False, workers: int = 1,
         # Parity keeps the reference's skip-empty-segment filter (wder.py:267);
         # if EVERY segment was skipped the model emitted no complete
         # utterances at all — fail loudly instead of zip(*[]) crashing.
+        # allow_degenerate (cli.wder --allow-degenerate; CPU smokes of the
+        # chain on untrained models) returns the worst-case scores instead so
+        # downstream summary/merge plumbing still runs.
+        if allow_degenerate:
+            print(f"corpus_wder: DEGENERATE — all {len(paired_results)} "
+                  "segments skipped; scoring worst-case WER 100% / WDER 100%")
+            return (), (), 1.0, [], 0, 1.0
         raise ValueError(
             f"corpus_wder: all {len(paired_results)} segments were skipped "
             "(empty ref or hyp utterance lists) — the hypothesis stream "

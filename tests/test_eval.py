@@ -175,6 +175,19 @@ def test_corpus_wder_aggregation():
     np.testing.assert_allclose(overall_wder, 0.25)
 
 
+def test_corpus_wder_all_skipped():
+    """All-empty hypothesis streams fail loudly by default (an untrained or
+    broken model must not score silently); --allow-degenerate scores the
+    worst case instead so CPU smokes can exercise the summary plumbing."""
+    import pytest
+
+    segs = [([("a b", 0)], []), ([("c d", 1)], [])]
+    with pytest.raises(ValueError, match="all 2 segments were skipped"):
+        corpus_wder(segs)
+    *_, wder, dist_t, n_t, wer = corpus_wder(segs, allow_degenerate=True)
+    assert (wder, wer, dist_t, n_t) == (1.0, 1.0, [], 0)
+
+
 def test_wder_reference_docstring_example():
     """The wder.py:334-352 docstring fixture: embeddings + None speakers,
     clustered by cosine distance."""
