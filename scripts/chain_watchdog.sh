@@ -31,8 +31,13 @@ MAX_HOURS=${MAX_HOURS:-10}
 
 deadline=$(( $(date +%s) + MAX_HOURS * 3600 ))
 
-newest_mtime() {  # newest mtime (epoch s) across the accuracy workspace
-  find "$DIR" -type f -printf '%T@\n' 2>/dev/null | sort -n | tail -1 | cut -d. -f1
+newest_mtime() {  # newest mtime (epoch s) across CHAIN-written files only.
+  # Sidecar loops (scripts/uisrnn_der.sh tee-ing uisrnn_out.txt, diarfeat
+  # extraction) also write under $DIR and would otherwise keep this fresh
+  # while the train child hangs on a dead tunnel RPC — blinding the stall
+  # detector exactly when a tunnel recovery needs a child restart.
+  find "$DIR" -type f -not -name '*.txt' -not -path '*/diarfeat/*' \
+      -printf '%T@\n' 2>/dev/null | sort -n | tail -1 | cut -d. -f1
 }
 
 descendants() {  # all descendant PIDs of $1, via ppid walk

@@ -11,6 +11,8 @@ set -euo pipefail
 DIR=${ACC_DIR:-accuracy}
 ITERS=${DER_ITERS:-2500}
 K=${DER_K:-5}
+BEAM=${DER_BEAM:-6}
+LOOKAHEAD=${DER_LOOKAHEAD:-1}
 
 if [ ! -d "$DIR/diarfeat" ] || [ -z "$(ls "$DIR/diarfeat" 2>/dev/null)" ]; then
   TAL_JAX_PLATFORMS=cpu python -m tal_asrd_tpu.cli.tools diar-features \
@@ -21,7 +23,7 @@ TAL_JAX_PLATFORMS=cpu python -m tal_asrd_tpu.cli.uisrnn \
     --features "$DIR/diarfeat/*.pkl" --mode kfold \
     --observation-dim 160 --rnn-hidden-size 256 \
     --train-iteration "$ITERS" --k-folds "$K" \
-    --beam-size 6 --test-iteration 2 \
+    --beam-size "$BEAM" --look-ahead "$LOOKAHEAD" --test-iteration 2 \
     | tee "$DIR/uisrnn_out.txt"
 
 python - "$DIR" <<'PY'
