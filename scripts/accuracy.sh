@@ -127,7 +127,7 @@ fi
 # tal/utils/average_weights.py:13-29 / transcribe.py:217). Skip when the
 # existing average is newer than every source checkpoint — rewriting it would
 # reset the freshness clock the eval legs below key their skip logic off.
-NEWEST_CKPT=$(ls -v "$DIR/ckpts/$NAME"/ckpt_*.msgpack | tail -1)
+NEWEST_CKPT=$(ls -t "$DIR/ckpts/$NAME"/ckpt_*.msgpack | head -1)  # by mtime
 if [ ! -f "$DIR/avg_last_3.msgpack" ] \
    || [ "$NEWEST_CKPT" -nt "$DIR/avg_last_3.msgpack" ]; then
   python -m tal_asrd_tpu.cli.tools average-ckpt \
@@ -179,7 +179,7 @@ python -m tal_asrd_tpu.cli.wder --eval-file "$DIR/wder_ready.pkl" --workers 1 \
 # Both pickles must exist AND be newer than the evaluated checkpoint, so a
 # partial rerun can never mix metrics from different checkpoints.
 python - "$DIR" <<'PY'
-import json, os, pickle, subprocess, sys
+import glob, json, os, pickle, subprocess, sys, time
 d = sys.argv[1]
 ckpt = f"{d}/avg_last_3.msgpack"
 paths = {"aligned": f"{d}/wder_ready_aligned-wder.pkl",
@@ -197,13 +197,24 @@ try:
                             capture_output=True, text=True).stdout.strip()
 except Exception:
     commit = ""
+# Provenance (VERDICT r3 #5): every published number names the corpus
+# version, the exact checkpoint (+mtime), and when it was measured, so a
+# reader can tell a live number from a stale one and merge_metrics.py can
+# evict bases whose corpus/checkpoint no longer exist.
+markers = sorted(glob.glob(f"{d}/train/.corpus_v*"))
+corpus = os.path.basename(markers[-1])[len(".corpus_"):] if markers else "unknown"
+iso = lambda t: time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime(t))
 json.dump(
     {"wer_pct": round(100 * al["overall_wer"], 3),
      "wder_pct": round(100 * al["overall_wder"], 3),
      "unaligned_wer_pct": round(100 * un["overall_wer"], 3),
      "unaligned_wder_pct": round(100 * un["overall_wder"], 3),
      "segments": len(un["dist"]),
-     "commit": commit},
+     "commit": commit,
+     "corpus": corpus,
+     "checkpoint": os.path.basename(ckpt),
+     "checkpoint_mtime": iso(os.path.getmtime(ckpt)),
+     "measured_at": iso(time.time())},
     open(f"{d}/metrics.json", "w"))
 print(f"accuracy metrics -> {d}/metrics.json")
 PY

@@ -20,6 +20,16 @@ cd "$(dirname "$0")/.."
 
 PUBLISH_AT=${PUBLISH_AT:-04:00}
 FREE_AT=${FREE_AT:-06:55}
+LEDGER=accuracy/chain
+
+chain_pidfile() {  # r4 ledger first, /tmp fallback (r3 compatibility)
+  if [ -f "$LEDGER/chain.pid" ]; then echo "$LEDGER/chain.pid";
+  else echo /tmp/r3_chain.pid; fi
+}
+watchdog_pidfile() {
+  if [ -f "$LEDGER/watchdog.pid" ]; then echo "$LEDGER/watchdog.pid";
+  else echo /tmp/watchdog.pid; fi
+}
 
 epoch_today_or_tomorrow() {  # HH:MM -> epoch s (next occurrence)
   local t
@@ -41,7 +51,7 @@ descendants() {
 
 kill_train_child() {  # kill only the cli.train descendant of the chain
   local chain
-  chain=$(cat /tmp/r3_chain.pid 2>/dev/null) || return 0
+  chain=$(cat "$(chain_pidfile)" 2>/dev/null) || return 0
   for p in $(descendants "$chain"); do
     local cmd
     cmd=$(tr '\0' ' ' < "/proc/$p/cmdline" 2>/dev/null || true)
@@ -75,8 +85,8 @@ fi
 # --- tripwire 2: free the chip ----------------------------------------------
 while [ "$(date +%s)" -lt "$FREE_T" ]; do sleep 60; done
 echo "[deadline] $FREE_AT reached; freeing the chip for the end-of-round bench"
-WD=$(cat /tmp/watchdog.pid 2>/dev/null || true)
-CH=$(cat /tmp/r3_chain.pid 2>/dev/null || true)
+WD=$(cat "$(watchdog_pidfile)" 2>/dev/null || true)
+CH=$(cat "$(chain_pidfile)" 2>/dev/null || true)
 for root in $WD $CH; do
   [ -n "$root" ] || continue
   kids=$(descendants "$root")

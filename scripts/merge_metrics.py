@@ -1,41 +1,100 @@
-"""Merge standing sidecar metrics into accuracy/metrics.json + ACCURACY.json.
+"""Merge standing sidecar metrics into accuracy/metrics.json + ACCURACY.json,
+with provenance and staleness eviction (VERDICT r3 #5 / weak #2).
 
 scripts/accuracy.sh rewrites $DIR/metrics.json from scratch on every run
 (correctly — its WER/WDER must be provenance-pure for the evaluated
 checkpoint), which drops standing numbers produced by the sibling loops
 (scripts/uisrnn_der.sh -> uisrnn_metrics.json, cli.vad -> vad_metrics.json,
-scripts/embed_chain.sh -> embed_metrics.json). This folds every sidecar back
-in so the tracked ACCURACY.json carries the full regression surface that
-bench.py publishes.
+cli.sad -> sad_metrics.json, scripts/embed_chain.sh -> embed_metrics.json).
+This folds every sidecar back in, subject to staleness rules:
+
+  * the ASR base (wer/wder) is kept ONLY if its recorded checkpoint still
+    exists on disk and its corpus tag matches the current corpus marker —
+    round 3 published v1 numbers for a deleted checkpoint next to v2
+    sidecars, which read as "aligned WDER is 0.0 on the current corpus";
+  * embed_metrics.json (checkpoint-dependent) is dropped when older than
+    avg_last_3.msgpack;
+  * uisrnn_metrics.json (corpus-dependent) is dropped when older than the
+    corpus marker;
+  * vad/sad sidecars evaluate their own corpora and merge unconditionally.
+
+Every surviving group is tagged in a `provenance` map (source file, corpus,
+measured_at) so ACCURACY.json is self-describing.
 
 Usage: python scripts/merge_metrics.py [ACC_DIR]
 """
 
+import glob
 import json
 import os
 import sys
+import time
 
-SIDECARS = ("uisrnn_metrics.json", "vad_metrics.json", "embed_metrics.json",
-            "sad_metrics.json")
+
+def _iso(t: float) -> str:
+    return time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime(t))
+
+
+def _corpus_tag(acc_dir: str):
+    """(tag, marker_mtime) of the newest corpus marker, or (None, None)."""
+    markers = sorted(glob.glob(os.path.join(acc_dir, "train", ".corpus_v*")))
+    if not markers:
+        return None, None
+    return os.path.basename(markers[-1])[len(".corpus_"):], \
+        os.path.getmtime(markers[-1])
 
 
 def merge(acc_dir: str = "accuracy") -> dict:
     base_path = os.path.join(acc_dir, "metrics.json")
     root = os.path.dirname(os.path.abspath(acc_dir))
+    corpus, corpus_mtime = _corpus_tag(acc_dir)
+    avg_ckpt = os.path.join(acc_dir, "avg_last_3.msgpack")
+
+    base, provenance = {}, {}
     if os.path.exists(base_path):
-        base = json.load(open(base_path))
-    elif os.path.exists(os.path.join(root, "ACCURACY.json")):
-        # no fresh accuracy.sh run yet — keep the standing headline numbers
-        # and fold the new sidecars over them
-        base = json.load(open(os.path.join(root, "ACCURACY.json")))
-    else:
-        base = {}
-    for name in SIDECARS:
+        cand = json.load(open(base_path))
+        ck = cand.get("checkpoint")
+        ck_ok = bool(ck) and os.path.exists(os.path.join(acc_dir, ck))
+        corpus_ok = corpus is None or cand.get("corpus") == corpus
+        if ck_ok and corpus_ok:
+            base = cand
+            provenance["asr"] = {
+                "source": "metrics.json", "corpus": cand.get("corpus"),
+                "checkpoint": ck, "measured_at": cand.get("measured_at")}
+        else:
+            print(f"merge_metrics: evicting stale ASR base "
+                  f"(checkpoint_exists={ck_ok}, corpus_match={corpus_ok}, "
+                  f"tagged corpus={cand.get('corpus')!r} vs live {corpus!r})",
+                  file=sys.stderr)
+
+    def sidecar(name: str, key: str, newer_than=None):
         p = os.path.join(acc_dir, name)
-        if os.path.exists(p):
-            base.update(json.load(open(p)))
-    json.dump(base, open(base_path, "w"))
-    json.dump(base, open(os.path.join(root, "ACCURACY.json"), "w"))
+        if not os.path.exists(p):
+            return
+        mtime = os.path.getmtime(p)
+        if newer_than is not None and mtime < newer_than:
+            print(f"merge_metrics: skipping stale sidecar {name} "
+                  f"(older than its dependency)", file=sys.stderr)
+            return
+        base.update(json.load(open(p)))
+        provenance[key] = {"source": name, "measured_at": _iso(mtime)}
+
+    # checkpoint-dependent: clustering WDER of the speaker-embedding chain
+    sidecar("embed_metrics.json", "embed",
+            newer_than=os.path.getmtime(avg_ckpt)
+            if os.path.exists(avg_ckpt) else float("inf"))
+    # corpus-dependent: UIS-RNN DER over features of the current corpus
+    sidecar("uisrnn_metrics.json", "uisrnn", newer_than=corpus_mtime)
+    # own-corpus sidecars
+    sidecar("vad_metrics.json", "vad")
+    sidecar("sad_metrics.json", "sad")
+
+    base["provenance"] = provenance
+    if corpus:
+        base.setdefault("corpus", corpus)
+    base["merged_at"] = _iso(time.time())
+    json.dump(base, open(base_path, "w"), indent=1)
+    json.dump(base, open(os.path.join(root, "ACCURACY.json"), "w"), indent=1)
     return base
 
 

@@ -27,13 +27,17 @@ run_one() {  # batch fused block
          BENCH_SKIP_EXTRAS=1 BENCH_ITERS=6 timeout 900 python bench.py \
          | tail -1)
   if [ -n "$line" ]; then
-    echo "$line" | python - "$b" "$fused" "$blk" >> "$OUT" <<'PY'
-import json, sys
-row = json.loads(sys.stdin.read())
+    # Row travels via env, NOT stdin: `python - <<heredoc` consumes stdin as
+    # the script, so a piped row is never readable (ADVICE r3, high — every
+    # sweep row was silently dropped).
+    ROW="$line" python -c '
+import json, os, sys
+row = json.loads(os.environ["ROW"])
 row["batch"] = int(sys.argv[1]); row["fused"] = int(sys.argv[2])
 row["fused_block"] = int(sys.argv[3])
 print(json.dumps(row))
-PY
+' "$b" "$fused" "$blk" >> "$OUT" \
+      || echo "{\"batch\": $b, \"fused\": $fused, \"fused_block\": $blk, \"error\": \"row parse failed\"}" >> "$OUT"
   else
     echo "{\"batch\": $b, \"fused\": $fused, \"fused_block\": $blk, \"error\": \"bench failed\"}" >> "$OUT"
   fi

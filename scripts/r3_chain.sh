@@ -43,7 +43,11 @@ train_phase() {  # name load_ckpt max_secs max_steps extra...
     fi
     local cur="$load"
     local latest
-    latest=$(ls -v "accuracy/ckpts/$name"/ckpt_*.msgpack 2>/dev/null | tail -1 || true)
+    # Warm-start from the NEWEST ckpt by mtime (ADVICE r3, medium): step
+    # numbering is monotonic again now that cli.train restores the step
+    # counter on same-run loads, but mtime ordering stays correct even over
+    # dirs holding pre-fix renumbered generations.
+    latest=$(ls -t "accuracy/ckpts/$name"/ckpt_*.msgpack 2>/dev/null | head -1 || true)
     [ -n "$latest" ] && cur="$latest"
     if python -m tal_asrd_tpu.cli.train \
       --train-data accuracy/train --valid-data accuracy/valid \
@@ -74,7 +78,10 @@ if [ ! -f accuracy/ckpts/.r3_chain_v1 ]; then
   touch accuracy/ckpts/.r3_chain_v1
 fi
 
-train_phase acc1x-p1c accuracy/ckpts/acc1x-p1b/ckpt_00012000.msgpack 10 6000 || exit 1
-P1C=$(ls -v accuracy/ckpts/acc1x-p1c/ckpt_*.msgpack | tail -1)
+# p1b's final ckpt by mtime, not a hardcoded step (ADVICE r3: early stopping
+# can end p1b below the nominal step target, making a hardcoded name vanish).
+P1B=$(ls -t accuracy/ckpts/acc1x-p1b/ckpt_*.msgpack | head -1)
+train_phase acc1x-p1c "$P1B" 10 6000 || exit 1
+P1C=$(ls -t accuracy/ckpts/acc1x-p1c/ckpt_*.msgpack | head -1)
 train_phase acc1x "$P1C" 28.5 10000 --shiftaug || exit 1
 bash scripts/accuracy.sh && bash scripts/embed_chain.sh && python scripts/merge_metrics.py accuracy

@@ -66,6 +66,11 @@ def get_argparser(is_train: bool = False) -> argparse.ArgumentParser:
         p.add_argument("--cache-items", action="store_true", default=False,
                        help="cache decoded dataset items in RAM (small "
                             "corpora; removes the host IO bottleneck)")
+        p.add_argument("--no-restore-step", action="store_true", default=False,
+                       help="do NOT restore the step counter when --load "
+                            "points at this run's own checkpoint dir (same-"
+                            "run warm starts keep ckpt numbering monotonic "
+                            "by default)")
         p.add_argument("--name", type=str, required=True)
         p.add_argument("--project", type=str, default="asr")
         p.add_argument("--checkpoint-path", type=str, default="./models/tal-asrd-tpu")

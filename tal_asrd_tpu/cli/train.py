@@ -13,6 +13,7 @@ generation spot check.
 from __future__ import annotations
 
 import os
+import re
 
 import jax
 import jax.numpy as jnp
@@ -100,6 +101,27 @@ def build_datasets(args, tokenizer):
     return ConcatDataset(train_parts), ConcatDataset(valid_parts)
 
 
+def maybe_restore_step(args, state):
+    """Warm-start continuity: when --load points at one of THIS run's own
+    epoch checkpoints (the crash-retry path of the training chains), restore
+    the trainer step counter from the filename. Without this, a params-only
+    load resets step to 0, so retries write RENUMBERED low-step checkpoints:
+    "latest by step" then warm-starts from stale pre-crash weights, last-k
+    averaging mixes training generations, and max-steps accounting re-pays
+    already-trained steps (ADVICE r3, medium). Cross-run loads (curriculum
+    phase hand-offs, surgical warm starts) keep step 0: their step budget is
+    phase-relative by design."""
+    if not args.load or getattr(args, "no_restore_step", False):
+        return state
+    m = re.match(r"ckpt_(\d+)\.msgpack$", os.path.basename(args.load))
+    own_dir = os.path.abspath(os.path.join(args.checkpoint_path, args.name))
+    if m and os.path.dirname(os.path.abspath(args.load)) == own_dir:
+        step = int(m.group(1))
+        state = state.replace(step=jnp.asarray(step, jnp.int32))
+        print(f"[train] restored step counter to {step} (same-run warm start)")
+    return state
+
+
 def main(argv=None):
     args = get_argparser(is_train=True).parse_args(argv)
     rng = set_seed(42)
@@ -150,6 +172,8 @@ def main(argv=None):
             state.params, donor, strict=False,
             expand_embeddings_to=model_cfg.num_tokens,
         ))
+
+    state = maybe_restore_step(args, state)
 
     state = system.shard_state(mesh, state)
 

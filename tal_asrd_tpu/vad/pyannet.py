@@ -72,9 +72,15 @@ class SincConv(nn.Module):
         half = (self.kernel_size - 1) // 2
         # time axis of the left half (right half is mirrored)
         t = jnp.arange(-half, 0, dtype=jnp.float32) / self.sample_rate  # [K/2]
+        # Half-Hamming rising monotonically toward the filter center: the
+        # cosine argument sweeps 0..pi over the LEFT half (SincNet's
+        # linspace(0, K/2-1, half) convention). Sweeping a full period here
+        # (ADVICE r3) peaked the window mid-half and collapsed it to 0.08 at
+        # the center tap, attenuating the sinc mainlobe.
         window = 0.54 - 0.46 * jnp.cos(
-            2.0 * jnp.pi * jnp.linspace(0.0, float(self.kernel_size),
-                                        half, dtype=jnp.float32)
+            2.0 * jnp.pi
+            * jnp.linspace(0.0, float(self.kernel_size) / 2.0 - 1.0,
+                           half, dtype=jnp.float32)
             / self.kernel_size)                                      # [K/2]
         # band-pass = high-lowpass minus low-lowpass, Hamming-windowed
         arg = 2.0 * jnp.pi * t[None, :]                              # [1, K/2]

@@ -1,0 +1,161 @@
+"""Regression tests for the round-4 chain-ops fixes (ADVICE r3 + VERDICT r3).
+
+Covers:
+  * cli.train step-counter restore on same-run warm starts (ADVICE medium:
+    params-only loads reset step to 0, renumbering retry checkpoints);
+  * merge_metrics provenance + staleness eviction (VERDICT #5: round 3
+    published corpus-v1 WER for a deleted checkpoint next to v2 sidecars);
+  * SincConv half-Hamming window shape (ADVICE low: full-period sweep
+    collapsed the window at the filter's center tap).
+"""
+import argparse
+import json
+import os
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+
+def _args(**kw):
+    ns = argparse.Namespace(no_restore_step=False)
+    for k, v in kw.items():
+        setattr(ns, k, v)
+    return ns
+
+
+def _state():
+    from tal_asrd_tpu.train.system import TrainState
+
+    return TrainState(step=jnp.zeros((), jnp.int32), params={}, opt_state={})
+
+
+class TestRestoreStep:
+    def test_same_run_ckpt_restores_step(self, tmp_path):
+        from tal_asrd_tpu.cli.train import maybe_restore_step
+
+        run = tmp_path / "ckpts" / "acc1x"
+        run.mkdir(parents=True)
+        ckpt = run / "ckpt_00001950.msgpack"
+        args = _args(load=str(ckpt), checkpoint_path=str(tmp_path / "ckpts"),
+                     name="acc1x")
+        out = maybe_restore_step(args, _state())
+        assert int(out.step) == 1950
+
+    def test_cross_run_load_keeps_step_zero(self, tmp_path):
+        """Curriculum hand-offs (p1c ckpt -> p2 run) must NOT inherit the
+        donor phase's step count — the step budget is phase-relative."""
+        from tal_asrd_tpu.cli.train import maybe_restore_step
+
+        donor = tmp_path / "ckpts" / "acc1x-p1c" / "ckpt_00006000.msgpack"
+        args = _args(load=str(donor), checkpoint_path=str(tmp_path / "ckpts"),
+                     name="acc1x")
+        assert int(maybe_restore_step(args, _state()).step) == 0
+
+    def test_non_ckpt_name_keeps_step_zero(self, tmp_path):
+        from tal_asrd_tpu.cli.train import maybe_restore_step
+
+        args = _args(load=str(tmp_path / "ckpts" / "a" / "avg_last_3.msgpack"),
+                     checkpoint_path=str(tmp_path / "ckpts"), name="a")
+        assert int(maybe_restore_step(args, _state()).step) == 0
+
+    def test_opt_out_flag(self, tmp_path):
+        from tal_asrd_tpu.cli.train import maybe_restore_step
+
+        args = _args(load=str(tmp_path / "ckpts" / "a" / "ckpt_00000100.msgpack"),
+                     checkpoint_path=str(tmp_path / "ckpts"), name="a",
+                     no_restore_step=True)
+        assert int(maybe_restore_step(args, _state()).step) == 0
+
+
+class TestMergeMetrics:
+    def _corpus(self, acc, tag=".corpus_v2"):
+        (acc / "train").mkdir(parents=True)
+        (acc / "train" / tag).touch()
+
+    def test_evicts_base_with_missing_checkpoint(self, tmp_path, monkeypatch):
+        import merge_metrics
+
+        acc = tmp_path / "accuracy"
+        self._corpus(acc)
+        json.dump({"wer_pct": 35.3, "corpus": "v2",
+                   "checkpoint": "avg_last_3.msgpack"},
+                  open(acc / "metrics.json", "w"))
+        out = merge_metrics.merge(str(acc))
+        assert "wer_pct" not in out  # checkpoint file does not exist
+
+    def test_evicts_base_with_corpus_mismatch(self, tmp_path):
+        import merge_metrics
+
+        acc = tmp_path / "accuracy"
+        self._corpus(acc, ".corpus_v3")
+        (acc / "avg_last_3.msgpack").write_bytes(b"x")
+        json.dump({"wer_pct": 35.3, "corpus": "v2",
+                   "checkpoint": "avg_last_3.msgpack"},
+                  open(acc / "metrics.json", "w"))
+        out = merge_metrics.merge(str(acc))
+        assert "wer_pct" not in out
+
+    def test_keeps_live_base_and_tags_provenance(self, tmp_path):
+        import merge_metrics
+
+        acc = tmp_path / "accuracy"
+        self._corpus(acc)
+        (acc / "avg_last_3.msgpack").write_bytes(b"x")
+        json.dump({"wer_pct": 12.0, "corpus": "v2",
+                   "checkpoint": "avg_last_3.msgpack",
+                   "measured_at": "2026-08-18T00:00:00Z"},
+                  open(acc / "metrics.json", "w"))
+        json.dump({"vad_f1_pct": 96.8}, open(acc / "vad_metrics.json", "w"))
+        out = merge_metrics.merge(str(acc))
+        assert out["wer_pct"] == 12.0
+        assert out["vad_f1_pct"] == 96.8
+        assert out["provenance"]["asr"]["checkpoint"] == "avg_last_3.msgpack"
+        assert "measured_at" in out["provenance"]["vad"]
+        # published twice: acc dir + repo root
+        assert json.load(open(tmp_path / "ACCURACY.json"))["wer_pct"] == 12.0
+
+    def test_stale_embed_sidecar_skipped(self, tmp_path):
+        import merge_metrics
+
+        acc = tmp_path / "accuracy"
+        self._corpus(acc)
+        json.dump({"embed_wder_pct": 9.9},
+                  open(acc / "embed_metrics.json", "w"))
+        old = os.path.getmtime(acc / "embed_metrics.json") - 100
+        os.utime(acc / "embed_metrics.json", (old, old))
+        (acc / "avg_last_3.msgpack").write_bytes(b"x")  # newer than sidecar
+        out = merge_metrics.merge(str(acc))
+        assert "embed_wder_pct" not in out
+
+    def test_fresh_embed_sidecar_merged(self, tmp_path):
+        import merge_metrics
+
+        acc = tmp_path / "accuracy"
+        self._corpus(acc)
+        (acc / "avg_last_3.msgpack").write_bytes(b"x")
+        json.dump({"embed_wder_pct": 9.9},
+                  open(acc / "embed_metrics.json", "w"))
+        new = os.path.getmtime(acc / "avg_last_3.msgpack") + 100
+        os.utime(acc / "embed_metrics.json", (new, new))
+        out = merge_metrics.merge(str(acc))
+        assert out["embed_wder_pct"] == 9.9
+
+
+class TestSincWindow:
+    def test_half_hamming_rises_to_center(self):
+        """The left half-window must increase monotonically toward the filter
+        center and approach 1.0 there (ADVICE r3: a full-period cosine sweep
+        peaked mid-half and fell to 0.08 at the center tap)."""
+        from tal_asrd_tpu.vad.pyannet import SincConv
+
+        sc = SincConv()
+        k = sc.kernel_size
+        half = (k - 1) // 2
+        window = 0.54 - 0.46 * np.cos(
+            2.0 * np.pi * np.linspace(0.0, k / 2.0 - 1.0, half) / k)
+        assert np.all(np.diff(window) > 0)
+        assert window[-1] > 0.95
+        assert window[0] < 0.1  # Hamming foot at the filter edge
