@@ -88,6 +88,7 @@ def merge(acc_dir: str = "accuracy") -> dict:
     # own-corpus sidecars
     sidecar("vad_metrics.json", "vad")
     sidecar("sad_metrics.json", "sad")
+    sidecar("sad_stress_metrics.json", "sad_stress")
 
     base["provenance"] = provenance
     if corpus:

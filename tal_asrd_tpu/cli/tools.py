@@ -93,6 +93,19 @@ def main(argv=None):
     sy.add_argument("--speakers", type=int, default=4)
     sy.add_argument("--seed", type=int, default=0)
 
+    ss = sub.add_parser("synth-sad-stress",
+                        help="SAD stress corpus: noise floor, SNR sweep, "
+                             "crossfaded bounds, hum/burst distractors "
+                             "(de-saturates the SAD eval, VERDICT r3 #8)")
+    ss.add_argument("--out-dir", required=True)
+    ss.add_argument("--episodes", type=int, default=6)
+    ss.add_argument("--episode-seconds", type=float, default=90.0)
+    ss.add_argument("--speakers", type=int, default=8)
+    ss.add_argument("--seed", type=int, default=0)
+    ss.add_argument("--snr-low", type=float, default=0.0)
+    ss.add_argument("--snr-high", type=float, default=20.0)
+    ss.add_argument("--noise-rms", type=float, default=0.02)
+
     args = p.parse_args(argv)
 
     if args.cmd == "train-tokenizer":
@@ -342,6 +355,22 @@ def main(argv=None):
         )
         n_utts = sum(len(u) for u in tr.values())
         print(f"wrote {len(tr)} episodes ({n_utts} utterances) to {args.out_dir}")
+
+    elif args.cmd == "synth-sad-stress":
+        from tal_asrd_tpu.data.synth import build_sad_stress_corpus
+
+        tr = build_sad_stress_corpus(
+            args.out_dir,
+            n_episodes=args.episodes,
+            episode_seconds=args.episode_seconds,
+            n_speakers=args.speakers,
+            seed=args.seed,
+            snr_db=(args.snr_low, args.snr_high),
+            noise_rms=args.noise_rms,
+        )
+        n_utts = sum(len(u) for u in tr.values())
+        print(f"wrote {len(tr)} stress episodes ({n_utts} utterances) "
+              f"to {args.out_dir}")
 
 
 if __name__ == "__main__":

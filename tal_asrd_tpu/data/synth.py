@@ -201,6 +201,125 @@ def build_synth_corpus(
     return transcripts
 
 
+def build_sad_stress_corpus(
+    root: str,
+    n_episodes: int = 6,
+    episode_seconds: float = 90.0,
+    n_speakers: int = 8,
+    seed: int = 0,
+    sr: int = SR,
+    snr_db: Tuple[float, float] = (0.0, 20.0),
+    noise_rms: float = 0.02,
+    crossfade_s: float = 0.25,
+    distractor_rate: float = 0.5,
+) -> dict:
+    """SAD stress corpus (VERDICT r3 #8): the plain synth corpus is nearly
+    energy-separable (tones at ~0.5 amplitude vs 0.005 silence), so any
+    detector scores F1 ≈ 99.9 and the metric cannot catch regressions. This
+    variant removes the trivial cues, in exactly the directions that separate
+    a trained SAD from an energy gate:
+
+      * continuous noise floor (`noise_rms`) instead of near-silence;
+      * per-utterance SNR drawn from `snr_db` (dB vs the floor): the quietest
+        utterances sit AT the noise floor, defeating any fixed energy
+        threshold while remaining tonally structured;
+      * crossfaded utterance boundaries (`crossfade_s` half-cosine ramps):
+        gold bounds stay nominal, so boundary frames are genuinely ambiguous;
+      * NON-SPEECH distractors between utterances, absent from the
+        transcript (gold = non-speech): hum-only segments (the speaker
+        fundamental + harmonics, no character tones — 'vocal noise') and
+        broadband noise bursts, both at speech-like energies. An energy gate
+        must fire on them; a SAD that reads spectro-temporal structure can
+        reject them.
+
+    Same artifact schema as build_synth_corpus (episode wavs +
+    transcript.pkl + speaker_map.json), so the SAD/VAD CLIs run unchanged.
+    """
+    rng = np.random.RandomState(seed)
+    os.makedirs(root, exist_ok=True)
+    speakers = SPEAKER_NAMES[:n_speakers]
+    transcripts = {}
+    n_fade = int(crossfade_s * sr)
+
+    def _distractor() -> np.ndarray:
+        dur = float(rng.uniform(0.5, 2.0))
+        n = int(dur * sr)
+        t = np.arange(n) / sr
+        if rng.rand() < 0.5:
+            # hum-only: a random speaker's fundamental + 2 harmonics
+            hum_f = 90.0 + 15.0 * rng.randint(0, n_speakers) \
+                + float(rng.uniform(-5.0, 5.0))
+            seg = (0.5 * np.sin(2 * np.pi * hum_f * t)
+                   + 0.3 * np.sin(2 * np.pi * 2 * hum_f * t)
+                   + 0.15 * np.sin(2 * np.pi * 3 * hum_f * t))
+        else:
+            seg = rng.randn(n)  # broadband burst
+        seg = seg / (np.sqrt(np.mean(seg ** 2)) + 1e-9)
+        snr = float(rng.uniform(*snr_db))
+        seg = seg * noise_rms * 10.0 ** (snr / 20.0)
+        ramp = min(n // 4, n_fade)
+        env = np.ones(n)
+        env[:ramp] = 0.5 - 0.5 * np.cos(np.pi * np.arange(ramp) / ramp)
+        env[-ramp:] = env[:ramp][::-1]
+        return (seg * env).astype(np.float32)
+
+    for e in range(n_episodes):
+        stub = f"ep{e}"
+        chunks: List[np.ndarray] = []
+        utts = []
+        t = 0.5
+        chunks.append((rng.randn(int(t * sr)) * noise_rms).astype(np.float32))
+        while t < episode_seconds - 10.0:
+            if rng.rand() < distractor_rate:
+                d = _distractor()
+                chunks.append(d + (rng.randn(len(d)) * noise_rms
+                                   ).astype(np.float32))
+                t += len(d) / sr
+            text = random_sentence(rng)
+            spk = int(rng.randint(0, n_speakers))
+            wav = render_utterance(text, spk, rng, sr).astype(np.float64)
+            # target SNR vs the noise floor
+            rms = float(np.sqrt(np.mean(wav ** 2))) + 1e-9
+            snr = float(rng.uniform(*snr_db))
+            wav = wav * (noise_rms * 10.0 ** (snr / 20.0) / rms)
+            # crossfaded edges: energy ramps across the gold boundary
+            ramp = min(len(wav) // 4, n_fade)
+            if ramp > 1:
+                env = np.ones(len(wav))
+                env[:ramp] = 0.5 - 0.5 * np.cos(np.pi * np.arange(ramp) / ramp)
+                env[-ramp:] = env[:ramp][::-1]
+                wav = wav * env
+            dur = len(wav) / sr
+            utts.append({
+                "utterance": text,
+                "speaker": speakers[spk],
+                "utterance_start": float(t),
+                "utterance_end": float(t + dur),
+                "role": ROLES[int(rng.randint(0, len(ROLES)))],
+                "snr_db": snr,
+            })
+            chunks.append((wav + rng.randn(len(wav)) * noise_rms
+                           ).astype(np.float32))
+            gap = UTT_GAP_SECONDS + float(rng.rand()) * 0.6
+            chunks.append((rng.randn(int(gap * sr)) * noise_rms
+                           ).astype(np.float32))
+            t += dur + gap
+        audio = np.concatenate(chunks)
+        want = int(episode_seconds * sr)
+        if len(audio) < want:
+            audio = np.concatenate(
+                [audio,
+                 (rng.randn(want - len(audio)) * noise_rms).astype(np.float32)])
+        write_wav(os.path.join(root, stub + ".wav"), audio[:want], sr)
+        transcripts[stub] = utts
+
+    with open(os.path.join(root, "transcript.pkl"), "wb") as f:
+        pickle.dump(transcripts, f)
+    with open(os.path.join(root, "speaker_map.json"), "w") as f:
+        json.dump({name: i for i, name in enumerate(speakers)}, f)
+    return transcripts
+
+
 def corpus_text(root: str) -> List[str]:
     """All utterance texts in a corpus (for tokenizer/LM training)."""
     with open(os.path.join(root, "transcript.pkl"), "rb") as f:

@@ -159,3 +159,59 @@ class TestSincWindow:
         assert np.all(np.diff(window) > 0)
         assert window[-1] > 0.95
         assert window[0] < 0.1  # Hamming foot at the filter edge
+
+
+class TestSadStressCorpus:
+    """SAD stress corpus (VERDICT r3 #8): noise floor + SNR sweep +
+    distractors must remove the trivial energy separability of the plain
+    synth corpus while keeping the TAL transcript schema."""
+
+    def test_schema_and_snr_range(self, tmp_path):
+        from tal_asrd_tpu.data.synth import build_sad_stress_corpus
+
+        tr = build_sad_stress_corpus(str(tmp_path), n_episodes=1,
+                                     episode_seconds=40.0, seed=1,
+                                     snr_db=(0.0, 20.0))
+        utts = tr["ep0"]
+        assert len(utts) >= 3
+        for u in utts:
+            assert {"utterance", "speaker", "utterance_start",
+                    "utterance_end", "role", "snr_db"} <= set(u)
+            assert 0.0 <= u["snr_db"] <= 20.0
+        assert os.path.exists(tmp_path / "ep0.wav")
+        assert os.path.exists(tmp_path / "transcript.pkl")
+        assert os.path.exists(tmp_path / "speaker_map.json")
+
+    def test_not_energy_separable(self, tmp_path):
+        """The best single energy threshold must misclassify a nontrivial
+        fraction of frames (the plain corpus is ~99.9% separable)."""
+        from tal_asrd_tpu.data.audio_io import load_audio_segment
+        from tal_asrd_tpu.data.synth import build_sad_stress_corpus
+
+        tr = build_sad_stress_corpus(str(tmp_path), n_episodes=2,
+                                     episode_seconds=60.0, seed=0,
+                                     snr_db=(0.0, 15.0))
+        frame = 160  # 10 ms
+        errs, total = 0, 0
+        rms_all, lab_all = [], []
+        for stub, utts in tr.items():
+            wav = np.asarray(load_audio_segment(
+                str(tmp_path / f"{stub}.wav"), 0.0, None))
+            n = len(wav) // frame
+            rms = np.sqrt((wav[:n * frame].reshape(n, frame) ** 2).mean(1))
+            lab = np.zeros(n, bool)
+            for u in utts:
+                a = int(u["utterance_start"] * 100)
+                b = int(u["utterance_end"] * 100)
+                lab[a:min(b, n)] = True
+            rms_all.append(rms)
+            lab_all.append(lab)
+        rms = np.concatenate(rms_all)
+        lab = np.concatenate(lab_all)
+        # sweep thresholds: best achievable frame accuracy of an energy gate
+        best = max(
+            ((rms > th) == lab).mean()
+            for th in np.quantile(rms, np.linspace(0.01, 0.99, 99)))
+        assert best < 0.97, f"energy gate still separates: acc={best:.4f}"
+        # ...but speech is still louder on average (the task is possible)
+        assert rms[lab].mean() > 1.2 * rms[~lab].mean()
