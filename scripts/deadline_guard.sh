@@ -73,12 +73,27 @@ while [ "$(date +%s)" -lt "$PUB_T" ]; do
   sleep 120
 done
 if [ ! -f accuracy/ckpts/acc1x/.done ]; then
-  if ls accuracy/ckpts/acc1x/ckpt_*.msgpack >/dev/null 2>&1; then
-    echo "[deadline] $PUBLISH_AT reached with p2 unfinished; forcing eval legs"
-    touch accuracy/ckpts/acc1x-p1c/.done accuracy/ckpts/acc1x/.done
+  # Mark every r4 train phase done so the relaunched chain goes straight to
+  # the eval legs. If the final phase (acc1x) has no checkpoint yet, seed it
+  # with the newest ckpt of the furthest-along annealing phase — a real
+  # ACCURACY.json from a partially-annealed checkpoint beats no update.
+  newest=""
+  for ph in acc1x acc1x-p2b acc1x-p2a acc1x-p1c; do
+    newest=$(ls -t "accuracy/ckpts/$ph"/ckpt_*.msgpack 2>/dev/null | head -1 || true)
+    [ -n "$newest" ] && break
+  done
+  if [ -n "$newest" ]; then
+    echo "[deadline] $PUBLISH_AT reached with training unfinished; forcing eval legs (seed: $newest)"
+    mkdir -p accuracy/ckpts/acc1x
+    if ! ls accuracy/ckpts/acc1x/ckpt_*.msgpack >/dev/null 2>&1; then
+      cp "$newest" accuracy/ckpts/acc1x/ckpt_00000001.msgpack
+    fi
+    for ph in acc1x acc1x-p2b acc1x-p2a acc1x-p1c; do
+      mkdir -p "accuracy/ckpts/$ph"; touch "accuracy/ckpts/$ph/.done"
+    done
     kill_train_child
   else
-    echo "[deadline] $PUBLISH_AT reached but acc1x has NO checkpoints; leaving chain alone"
+    echo "[deadline] $PUBLISH_AT reached but NO phase has checkpoints; leaving chain alone"
   fi
 fi
 

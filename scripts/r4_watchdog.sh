@@ -163,7 +163,7 @@ while :; do
     # RETRIES=1: a killed/hung child ends the chain so control returns HERE,
     # where the probe gates the relaunch — the chain's blind internal retry
     # loop is the wrong place to wait out a tunnel outage.
-    RETRIES=1 nohup bash scripts/r3_chain.sh >> "$LEDGER/chain.log" 2>&1 &
+    RETRIES=1 nohup bash scripts/r4_chain.sh >> "$LEDGER/chain.log" 2>&1 &
     CHAIN_PID=$!
     echo "$CHAIN_PID" > "$LEDGER/chain.pid"
   fi
