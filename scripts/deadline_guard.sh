@@ -78,7 +78,7 @@ if [ ! -f accuracy/ckpts/acc1x/.done ]; then
   # with the newest ckpt of the furthest-along annealing phase — a real
   # ACCURACY.json from a partially-annealed checkpoint beats no update.
   newest=""
-  for ph in acc1x acc1x-p2b acc1x-p2a acc1x-p1c; do
+  for ph in acc1x acc1x-p2m acc1x-p1c; do
     newest=$(ls -t "accuracy/ckpts/$ph"/ckpt_*.msgpack 2>/dev/null | head -1 || true)
     [ -n "$newest" ] && break
   done
@@ -88,7 +88,7 @@ if [ ! -f accuracy/ckpts/acc1x/.done ]; then
     if ! ls accuracy/ckpts/acc1x/ckpt_*.msgpack >/dev/null 2>&1; then
       cp "$newest" accuracy/ckpts/acc1x/ckpt_00000001.msgpack
     fi
-    for ph in acc1x acc1x-p2b acc1x-p2a acc1x-p1c; do
+    for ph in acc1x acc1x-p2m acc1x-p1c; do
       mkdir -p "accuracy/ckpts/$ph"; touch "accuracy/ckpts/$ph/.done"
     done
     kill_train_child

@@ -1,19 +1,26 @@
 #!/usr/bin/env bash
-# Round-4 accuracy training chain: WINDOW-LENGTH ANNEALING for the unaligned
-# task (the committed fallback of VERDICT r3 #2 / weak #6).
+# Round-4 accuracy training chain: MULTI-UTTERANCE BRIDGE for the unaligned
+# task (supersedes both r3's direct hand-off and the window-length-annealing
+# plan — measured per-token CE localized the actual defect).
 #
-# Round-3 diagnosis (scripts/val_split.py on acc1x/ckpt_00001950): direct
-# 10 s -> 28.5 s shiftaug hand-off FAILS —
-#     val_aligned 0.61 -> 2.54 (short task cannibalized)
-#     val_segment 4.00 ~= corpus unigram entropy (cross-attn never locked)
-# even though aligned items stay mixed into every batch: the long-window
-# gradient (at unigram-entropy loss, hence large) drags the shared weights
-# into the LM-prior basin and the aligned task goes down with it.
+# Round-4 diagnosis (per-token teacher-forced CE of the p1c model on segment
+# windows, 2026-08-18): utterance-1 tokens score near-aligned CE, but every
+# post-EOS continuation is a near-impossible event that ESCALATES per
+# utterance (CE 38 -> 69 by utterance 3). Aligned training (num_utterances=1)
+# only ever showed [EOS text spk EOS] with nothing after the final EOS, so
+# the model learned EOS as terminal; the first shiftaug batches then hit
+# CE ~14 (worse than the 3.9 unigram floor), and the fastest descent
+# direction is "ignore audio, predict the LM prior" — the measured basin
+# (val_segment pinned at 4.0, val_aligned dragged 0.61 -> 2.54). Window
+# LENGTH was never the problem: r3's 14 s phase plateaued identically.
 #
-# Lever: anneal the window length 10 -> 14 -> 20 -> 28.5 s at HALVED LR
-# (1e-4), so cross-attention stays locked while its reach extends; each hop
-# is a small distribution shift instead of a basin jump. The final phase
-# keeps the r3 name `acc1x` (accuracy.sh / deadline_guard key off it).
+# Lever: phase p2m trains on EXACT-ALIGNED multi-utterance windows
+# (AlignedDataset num_utterances=4, <=28.5 s, no truncation): the one new
+# skill — continue past EOS — is taught with clean supervision at full
+# window length. The shiftaug phase then adds only boundary truncation and
+# window offsets (the TDS encoder is translation-invariant) at halved LR.
+# The final phase keeps the r3 name `acc1x` (accuracy.sh / deadline_guard
+# key off it).
 #
 # All phases are idempotent (.done + step-target markers), warm-start from
 # their own newest ckpt on retry (cli.train restores the step counter for
@@ -64,12 +71,14 @@ train_phase() {  # name load_ckpt max_secs max_steps lr extra...
 }
 
 set -x
-# Chain-version guard: the r3 direct-28.5s acc1x ckpts live in the LM-prior
-# basin — warm-starting the annealed chain from them would defeat it. Move
-# them aside once.
-if [ ! -f accuracy/ckpts/.r4_chain_v1 ]; then
-  [ -d accuracy/ckpts/acc1x ] && mv accuracy/ckpts/acc1x accuracy/ckpts/r3-direct-p2-acc1x
-  touch accuracy/ckpts/.r4_chain_v1
+# Chain-version guard: the r3 direct-28.5s acc1x ckpts (and its 14s p2a
+# experiment) live in the LM-prior basin — warm-starting from them would
+# defeat the bridge. Move them aside once.
+if [ ! -f accuracy/ckpts/.r4_chain_v2 ]; then
+  for d in acc1x acc1x-p2a; do
+    [ -d "accuracy/ckpts/$d" ] && mv "accuracy/ckpts/$d" "accuracy/ckpts/r3-basin-$d"
+  done
+  touch accuracy/ckpts/.r4_chain_v2
 fi
 
 # p1c is complete from round 3 (val 0.61 on the short task); its phase_done
@@ -78,11 +87,10 @@ P1B=$(ls -t accuracy/ckpts/acc1x-p1b/ckpt_*.msgpack | head -1)
 train_phase acc1x-p1c "$P1B" 10 6000 2e-4 || exit 1
 P1C=$(ls -t accuracy/ckpts/acc1x-p1c/ckpt_*.msgpack | head -1)
 
-# Annealed long-window curriculum (all --shiftaug, LR halved vs r3's 2e-4)
-train_phase acc1x-p2a "$P1C" 14 2500 1e-4 --shiftaug || exit 1
-P2A=$(ls -t accuracy/ckpts/acc1x-p2a/ckpt_*.msgpack | head -1)
-train_phase acc1x-p2b "$P2A" 20 2500 1e-4 --shiftaug || exit 1
-P2B=$(ls -t accuracy/ckpts/acc1x-p2b/ckpt_*.msgpack | head -1)
-train_phase acc1x "$P2B" 28.5 5000 1e-4 --shiftaug || exit 1
+# Bridge: exact-aligned multi-utterance windows (EOS-continuation skill)
+train_phase acc1x-p2m "$P1C" 28.5 3000 1e-4 --num-utterances 4 || exit 1
+P2M=$(ls -t accuracy/ckpts/acc1x-p2m/ckpt_*.msgpack | head -1)
+# Long shiftaug windows, multi-utterance aligned items kept in the mix
+train_phase acc1x "$P2M" 28.5 5000 1e-4 --shiftaug --num-utterances 4 || exit 1
 
 bash scripts/accuracy.sh && bash scripts/embed_chain.sh && python scripts/merge_metrics.py accuracy

@@ -66,6 +66,10 @@ def get_argparser(is_train: bool = False) -> argparse.ArgumentParser:
         p.add_argument("--cache-items", action="store_true", default=False,
                        help="cache decoded dataset items in RAM (small "
                             "corpora; removes the host IO bottleneck)")
+        p.add_argument("--num-utterances", type=int, default=1,
+                       help="consecutive utterances per aligned item (N>1 "
+                            "teaches EOS-continuation with exact alignment — "
+                            "the bridge phase to shiftaug windows)")
         p.add_argument("--no-restore-step", action="store_true", default=False,
                        help="do NOT restore the step counter when --load "
                             "points at this run's own checkpoint dir (same-"

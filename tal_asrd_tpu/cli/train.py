@@ -56,10 +56,12 @@ class ConcatDataset:
 
 def build_datasets(args, tokenizer):
     tokenizer_speakers = args.num_speakers > 0 and args.spk_weight == 0
+    n_utt = getattr(args, "num_utterances", 1)
     train_parts = []
     for p in args.train_data:
         train_parts.append(AlignedDataset(
-            p, tokenizer, num_utterances=1, max_segment_duration=args.max_secs,
+            p, tokenizer, num_utterances=n_utt,
+            max_segment_duration=args.max_secs,
             speaker_map_loc=os.path.join(p, "speaker_map.json"),
             tokenizer_speakers=tokenizer_speakers, return_spk_ids=True,
             cache_items=getattr(args, "cache_items", False),
@@ -74,7 +76,8 @@ def build_datasets(args, tokenizer):
             ))
     valid_parts = [
         AlignedDataset(
-            p, tokenizer, num_utterances=1, max_segment_duration=args.max_secs,
+            p, tokenizer, num_utterances=n_utt,
+            max_segment_duration=args.max_secs,
             speaker_map_loc=os.path.join(p, "speaker_map.json"),
             tokenizer_speakers=tokenizer_speakers, return_spk_ids=True,
             cache_items=getattr(args, "cache_items", False),
