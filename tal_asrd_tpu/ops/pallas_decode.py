@@ -207,8 +207,12 @@ def fused_layer_step(
         jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
         jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
     ]
-    # input index k (0-based, AFTER the scalar-prefetch arg) -> output index.
-    # inputs: 0:x 1..12:weights 13:rw 14:ck 15:cv 16:memk 17:memv 18:bias
+    # input index -> output index, over the FLATTENED inputs INCLUDING the
+    # scalar-prefetch operand (jax pallas_call docs: "indices are in the
+    # flattened inputs"; the convention is backend-independent — aliases are
+    # resolved once at the jaxpr level before lowering, so interpret-mode
+    # parity covers the compiled path too).
+    # inputs: 0:idx 1:x 2..13:weights 14:rw 15:ck 16:cv 17:memk 18:memv 19:bias
     x_out, attn, ck, cv = pl.pallas_call(
         functools.partial(_layer_step_kernel, n_head=n_head),
         grid_spec=grid_spec,

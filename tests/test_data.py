@@ -106,6 +106,61 @@ def test_aligned_dataset_item(corpus):
     assert utts[0][1] is not None
 
 
+def test_aligned_dataset_multi_utterance_windows(corpus):
+    """Pins the r4 bridge-phase supervision (cli.train --num-utterances N).
+
+    The long-window collapse diagnosis (per-token CE, 2026-08-18) showed
+    aligned num_utterances=1 training teaches <EOS> as TERMINAL: every
+    post-EOS continuation in a segment window is then a near-impossible
+    event. The bridge phase trains on exact-aligned multi-utterance windows,
+    so the one property that matters is: targets must contain real token
+    content AFTER intermediate <EOS> separators (reference contract
+    /root/reference/tal/asr/data/util.py:72-123 — leading <EOS> only at
+    episode start, one <EOS> terminating each utterance)."""
+    root, _, tok = corpus
+    ds = AlignedDataset(
+        root, tok,
+        speaker_map_loc=os.path.join(root, "speaker_map.json"),
+        num_utterances=3, min_segment_duration=1.0,
+        tokenizer_speakers=True, return_spk_ids=True,
+    )
+    assert len(ds) > 0
+    wav, text, spk, _ = ds[0]  # window 0 starts at the episode start
+    text = list(text)
+    eos_pos = [j for j, t in enumerate(text) if t == tok.eos_token_id]
+    # Episode-start window: leading <EOS> + one per utterance = 4 total.
+    assert len(eos_pos) == 4 and text[0] == tok.eos_token_id
+    assert text[-1] == tok.eos_token_id
+    # The bridge skill: non-terminal <EOS> must be FOLLOWED by content.
+    for p in eos_pos[:-1]:
+        assert text[p + 1] != tok.eos_token_id
+    # Every utterance round-trips, each with a speaker attribution.
+    utts, _ = tok.decode_speakers(text)
+    assert len(utts) == 3
+    assert all(u[1] is not None for u in utts)
+    # The speaker-id track follows the utterance boundaries: it must carry
+    # every distinct speaker of the window, in order.
+    spk_tokens = [text[p - 1] for p in eos_pos[1:]]  # <spk> precedes each EOS
+    assert all(s >= len(tok) for s in spk_tokens)
+    assert len(spk) == len(text)
+    # Audio spans the whole multi-utterance window (>= 2 utterances of the
+    # min duration — i.e. longer than any single utterance item could be).
+    stub, utterances = ds.index[0]
+    span = utterances[-1]["utterance_end"] - utterances[0]["utterance_start"]
+    assert abs(wav.shape[0] / 16000.0 - span) < 0.05
+
+    # Reference parity (/root/reference/tal/asr/data/aligned.py:202-209): the
+    # WINDOW is passed as the full utterance list, so EVERY aligned window is
+    # <EOS>-primed — including mid-episode ones. This matches decode priming
+    # (each fresh decode starts from <EOS>); only SegmentDataset windows,
+    # which model mid-stream continuation, omit it (segment.py:232-239 passes
+    # the episode list, so is_first is almost never true).
+    mid = ds[1]
+    mtext = list(mid[1])
+    assert mtext[0] == tok.eos_token_id
+    assert sum(1 for t in mtext if t == tok.eos_token_id) == 4
+
+
 def test_segment_dataset_item(corpus):
     root, _, tok = corpus
     import random
