@@ -26,6 +26,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -67,7 +68,39 @@ def _flops_of(jitted, *args):
         return None
 
 
+def _deadline_guard():
+    """The axon tunnel fails by HANGING, not erroring (observed 2026-08-17
+    and 2026-08-18 overnight outages): a dead backend blocks the first device
+    dispatch forever, so without a guard the driver's end-of-round bench run
+    records a timeout with NO output (BENCH_r03 failure mode). This timer
+    emits the one-line JSON contract with an explicit error and hard-exits,
+    so a dead tunnel yields a fast, self-describing artifact instead.
+
+    Default 2100 s comfortably covers a healthy full run (compile ~40 s +
+    three decode legs, ~5-15 min on one v5e); override with BENCH_DEADLINE_S.
+    """
+    secs = float(os.environ.get("BENCH_DEADLINE_S", "2100"))
+
+    def fire():
+        print(json.dumps({
+            "metric": "joint_decode_audio_hours_per_hour_per_chip",
+            "value": 0.0,
+            "unit": "audio-hours/hour",
+            "vs_baseline": 0.0,
+            "error": f"bench deadline {secs:.0f}s exceeded — backend hang "
+                     "(the axon tunnel fails by hanging; see "
+                     "accuracy/chain/outages.log)",
+        }), flush=True)
+        os._exit(1)
+
+    t = threading.Timer(secs, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
+    guard = _deadline_guard()
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     max_new = int(os.environ.get("BENCH_STEPS", "96"))
     beam = int(os.environ.get("BENCH_BEAM", "1"))
@@ -262,6 +295,7 @@ def main():
         extras["accuracy_age_hours"] = round(
             (time.time() - os.path.getmtime(acc_metrics)) / 3600.0, 1)
 
+    guard.cancel()
     print(json.dumps({
         "metric": "joint_decode_audio_hours_per_hour_per_chip",
         "value": round(headline, 2),
