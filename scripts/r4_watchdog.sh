@@ -32,7 +32,10 @@ TRAIN_STALL_MIN=${TRAIN_STALL_MIN:-15}
 EVAL_STALL_MIN=${EVAL_STALL_MIN:-90}
 POLL_S=${POLL_S:-60}
 PROBE_BACKOFF_S=${PROBE_BACKOFF_S:-300}
-PROBE_TIMEOUT_S=${PROBE_TIMEOUT_S:-75}
+# A HEALTHY tunnel's first jax.devices() in a fresh process takes ~2 min
+# (tunnel warm-up; verify SKILL.md gotchas) — every probe is a fresh
+# process, so a timeout below that declares a recovered tunnel dead forever.
+PROBE_TIMEOUT_S=${PROBE_TIMEOUT_S:-240}
 DIR=${ACC_DIR:-accuracy}
 MAX_HOURS=${MAX_HOURS:-10}
 

@@ -43,8 +43,15 @@ def main():
 
     d = args.acc_dir
     tok = BpeTokenizer(model_path=f"{d}/bpe.model")
+    # Honor the debug-tiny architecture so this probe can score checkpoints
+    # written by TAL_TINY_ARCH training runs (cli/args.py applies the same
+    # overrides; shapes mismatch loudly if the env differs between legs).
+    tiny = {}
+    if os.environ.get("TAL_TINY_ARCH"):
+        tiny = dict(tds_depths=(1, 1, 1), width_mult=0.1,
+                    d_decoder_override=64)
     mcfg = ModelConfig(model_type="1x", num_speakers=args.speakers,
-                       vocab_size=len(tok))
+                       vocab_size=len(tok), **tiny)
     sys_ = ASRSystem(mcfg, TrainConfig(), specaug_cfg=SpecAugmentConfig(
         num_freq_masks=0, num_time_masks=0))
     params = load_pytree(args.ckpt)
