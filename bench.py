@@ -116,7 +116,11 @@ def main():
     # (ops/pallas_decode.py); encode stays on the flax/XLA path.
     use_fused = os.environ.get("BENCH_FUSED", "0") == "1"
     fused_block = int(os.environ.get("BENCH_FUSED_BLOCK", "8"))
-    dec_model = (FusedASRDecoder(model, block_b=fused_block)
+    # BENCH_FUSED_INTERPRET=1: CPU smoke of the fused code path (Mosaic
+    # compiles only on TPU); numbers are meaningless, plumbing is real.
+    fused_interp = os.environ.get("BENCH_FUSED_INTERPRET", "0") == "1"
+    dec_model = (FusedASRDecoder(model, block_b=fused_block,
+                                 interpret=fused_interp)
                  if use_fused else model)
 
     rng = jax.random.PRNGKey(0)
@@ -124,6 +128,47 @@ def main():
     audio_lens = jnp.full((batch,), t, jnp.int32)
     y0 = jnp.zeros((batch, 4), jnp.int32)
     variables = model.init({"params": rng}, audio, y0, audio_lens)
+
+    extras = {}
+    if use_fused:
+        # On-silicon numerics gate (VERDICT r3 #3): throughput alone must not
+        # flip the fused default — a Mosaic miscompile would be silent in a
+        # timing-only sweep. Three fused decode steps vs the flax path at
+        # bench shapes; the max |Δlogits| rides in the output JSON so
+        # perf_sweep rows carry their own correctness evidence. Runs BEFORE
+        # the headline so a kernel compile failure surfaces with a clear
+        # traceback instead of mid-timing.
+        @jax.jit
+        def _enc_probe(v, a, l):
+            return model.apply(v, a, l, False, method=ASRModel.encode)
+
+        @jax.jit
+        def _step_flax(v, tk, s):
+            return model.apply(v, tk, s, method=ASRModel.decode_step)
+
+        @jax.jit
+        def _step_fused(v, tk, s):
+            return dec_model.apply(v, tk, s,
+                                   method=FusedASRDecoder.decode_step)
+
+        enc_p = _enc_probe(variables, audio, audio_lens)
+        st_r = model.apply(variables, enc_p, batch, 8,
+                           method=ASRModel.init_decode_state)
+        st_f = dec_model.apply(variables, enc_p, batch, 8,
+                               method=FusedASRDecoder.init_decode_state)
+        toks = jnp.ones((batch, 1), jnp.int32)
+        maxdiff, match = 0.0, True
+        for _ in range(3):
+            lo_r, _, _, st_r = _step_flax(variables, toks, st_r)
+            lo_f, _, _, st_f = _step_fused(variables, toks, st_f)
+            maxdiff = max(maxdiff, float(jnp.max(jnp.abs(
+                lo_f.astype(jnp.float32) - lo_r.astype(jnp.float32)))))
+            nxt_r = jnp.argmax(lo_r, -1)[:, None].astype(jnp.int32)
+            nxt_f = jnp.argmax(lo_f, -1)[:, None].astype(jnp.int32)
+            match = match and bool(jnp.all(nxt_r == nxt_f))
+            toks = nxt_r
+        extras["fused_logit_maxdiff"] = round(maxdiff, 5)
+        extras["fused_greedy_token_match"] = match
 
     def make_decode(k):
         spec = BeamSearchSpec(
@@ -150,8 +195,6 @@ def main():
                        lambda o: o["tokens"], iters)
     audio_secs = batch * WINDOW_SECS
     headline = audio_secs / per_batch  # audio-hours per wall-hour
-
-    extras = {}
 
     # ---- MFU of the headline graph ----------------------------------------
     flops = _flops_of(decode1, variables, audio, audio_lens)
