@@ -20,7 +20,8 @@ cd "$(dirname "$0")/.."
 
 PUBLISH_AT=${PUBLISH_AT:-04:00}
 FREE_AT=${FREE_AT:-06:55}
-LEDGER=accuracy/chain
+ACC=${ACC_DIR:-accuracy}
+LEDGER=$ACC/chain
 
 chain_pidfile() {  # r4 ledger first, /tmp fallback (r3 compatibility)
   if [ -f "$LEDGER/chain.pid" ]; then echo "$LEDGER/chain.pid";
@@ -64,38 +65,60 @@ kill_train_child() {  # kill only the cli.train descendant of the chain
   done
 }
 
+force_publish() {  # $1 = "kill" to also kill the in-flight train child
+  # Mark every r4 train phase done so the relaunched chain goes straight to
+  # the eval legs. If the final phase (acc1x) has no checkpoint yet, seed it
+  # with the newest ckpt of the furthest-along curriculum phase — a real
+  # ACCURACY.json from a partially-trained checkpoint beats no update.
+  #
+  # Replicate the chain's version migration FIRST: if the chain never
+  # launched (tunnel dead all round), $ACC/ckpts/acc1x still holds the
+  # r3 LM-prior-basin weights — seeding the eval legs from those would
+  # publish numbers for the exact failure mode this round exists to fix,
+  # and the chain's later move would orphan the .done markers we touch here
+  # (empty p2m marked done -> --load "" crash loop).
+  if [ ! -f "$ACC/ckpts/.r4_chain_v2" ]; then
+    for d in acc1x acc1x-p2a; do
+      [ -d "$ACC/ckpts/$d" ] && mv "$ACC/ckpts/$d" "$ACC/ckpts/r3-basin-$d"
+    done
+    touch "$ACC/ckpts/.r4_chain_v2"
+  fi
+  local newest="" ph
+  for ph in acc1x acc1x-p2m acc1x-p1c; do
+    newest=$(ls -t "$ACC/ckpts/$ph"/ckpt_*.msgpack 2>/dev/null | head -1 || true)
+    [ -n "$newest" ] && break
+  done
+  if [ -n "$newest" ]; then
+    echo "[deadline] $PUBLISH_AT reached with training unfinished; forcing eval legs (seed: $newest)"
+    mkdir -p "$ACC/ckpts/acc1x"
+    if ! ls "$ACC/ckpts/acc1x"/ckpt_*.msgpack >/dev/null 2>&1; then
+      cp "$newest" "$ACC/ckpts/acc1x/ckpt_00000001.msgpack"
+    fi
+    for ph in acc1x acc1x-p2m acc1x-p1c; do
+      mkdir -p "$ACC/ckpts/$ph"; touch "$ACC/ckpts/$ph/.done"
+    done
+    [ "${1:-}" = kill ] && kill_train_child
+  else
+    echo "[deadline] $PUBLISH_AT reached but NO phase has checkpoints; leaving chain alone"
+  fi
+}
+
+# Test hook (regression: tests/test_chain_ops.py): run the force-publish
+# decision once against ACC_DIR, no waiting, no process kills, then exit.
+if [ "${1:-}" = "--test-force-publish" ]; then
+  force_publish nokill
+  exit 0
+fi
+
 PUB_T=$(epoch_today_or_tomorrow "$PUBLISH_AT")
 FREE_T=$(epoch_today_or_tomorrow "$FREE_AT")
 
 # --- tripwire 1: force-publish ---------------------------------------------
 while [ "$(date +%s)" -lt "$PUB_T" ]; do
-  [ -f accuracy/ckpts/acc1x/.done ] && break
+  [ -f "$ACC/ckpts/acc1x/.done" ] && break
   sleep 120
 done
-if [ ! -f accuracy/ckpts/acc1x/.done ]; then
-  # Mark every r4 train phase done so the relaunched chain goes straight to
-  # the eval legs. If the final phase (acc1x) has no checkpoint yet, seed it
-  # with the newest ckpt of the furthest-along annealing phase — a real
-  # ACCURACY.json from a partially-annealed checkpoint beats no update.
-  newest=""
-  for ph in acc1x acc1x-p2m acc1x-p1c; do
-    newest=$(ls -t "accuracy/ckpts/$ph"/ckpt_*.msgpack 2>/dev/null | head -1 || true)
-    [ -n "$newest" ] && break
-  done
-  if [ -n "$newest" ]; then
-    echo "[deadline] $PUBLISH_AT reached with training unfinished; forcing eval legs (seed: $newest)"
-    mkdir -p accuracy/ckpts/acc1x
-    if ! ls accuracy/ckpts/acc1x/ckpt_*.msgpack >/dev/null 2>&1; then
-      cp "$newest" accuracy/ckpts/acc1x/ckpt_00000001.msgpack
-    fi
-    for ph in acc1x acc1x-p2m acc1x-p1c; do
-      mkdir -p "accuracy/ckpts/$ph"; touch "accuracy/ckpts/$ph/.done"
-    done
-    kill_train_child
-  else
-    echo "[deadline] $PUBLISH_AT reached but NO phase has checkpoints; leaving chain alone"
-  fi
-fi
+[ -f "$ACC/ckpts/acc1x/.done" ] || force_publish kill
 
 # --- tripwire 2: free the chip ----------------------------------------------
 while [ "$(date +%s)" -lt "$FREE_T" ]; do sleep 60; done

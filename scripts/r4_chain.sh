@@ -89,7 +89,10 @@ P1C=$(ls -t accuracy/ckpts/acc1x-p1c/ckpt_*.msgpack | head -1)
 
 # Bridge: exact-aligned multi-utterance windows (EOS-continuation skill)
 train_phase acc1x-p2m "$P1C" 28.5 3000 1e-4 --num-utterances 4 || exit 1
-P2M=$(ls -t accuracy/ckpts/acc1x-p2m/ckpt_*.msgpack | head -1)
+P2M=$(ls -t accuracy/ckpts/acc1x-p2m/ckpt_*.msgpack 2>/dev/null | head -1 || true)
+# A force-published .done (deadline_guard) can mark p2m done with zero ckpts
+# (tunnel never came up); fall back to p1c rather than --load "" crashing.
+[ -n "$P2M" ] || P2M=$P1C
 # Long shiftaug windows, multi-utterance aligned items kept in the mix
 train_phase acc1x "$P2M" 28.5 5000 1e-4 --shiftaug --num-utterances 4 || exit 1
 

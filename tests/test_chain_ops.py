@@ -215,3 +215,64 @@ class TestSadStressCorpus:
         assert best < 0.97, f"energy gate still separates: acc={best:.4f}"
         # ...but speech is still louder on average (the task is possible)
         assert rms[lab].mean() > 1.2 * rms[~lab].mean()
+
+
+class TestDeadlineGuardForcePublish:
+    """Guard <-> chain interaction when the tunnel is dead all round.
+
+    Round-4 hazard: deadline_guard's force-publish used to touch .done in
+    the PRE-migration checkpoint dirs. The chain's first launch then moved
+    acc1x aside and found acc1x-p2m marked done with zero checkpoints, so
+    the final phase warm-started from --load "" in a watchdog relaunch
+    loop — and the eval seed would have been the r3 LM-prior-basin acc1x
+    checkpoint, the exact weights the round exists to retire.
+    """
+
+    def _sandbox(self, tmp_path):
+        ck = tmp_path / "ckpts"
+        (ck / "acc1x").mkdir(parents=True)
+        (ck / "acc1x-p1c").mkdir()
+        (ck / "acc1x" / "ckpt_00001950.msgpack").write_text("basin")
+        (ck / "acc1x-p1c" / "ckpt_00006000.msgpack").write_text("p1c")
+        return ck
+
+    def _run(self, tmp_path):
+        import subprocess
+
+        root = os.path.join(os.path.dirname(__file__), "..")
+        return subprocess.run(
+            ["bash", "scripts/deadline_guard.sh", "--test-force-publish"],
+            cwd=root, env={**os.environ, "ACC_DIR": str(tmp_path)},
+            capture_output=True, text=True)
+
+    def test_seeds_from_p1c_not_r3_basin(self, tmp_path):
+        ck = self._sandbox(tmp_path)
+        r = self._run(tmp_path)
+        assert r.returncode == 0, r.stderr
+        # migration happened: basin weights retired, marker written
+        assert (ck / "r3-basin-acc1x" / "ckpt_00001950.msgpack").exists()
+        assert (ck / ".r4_chain_v2").exists()
+        # eval seed is the curriculum checkpoint, not the basin one
+        seed = ck / "acc1x" / "ckpt_00000001.msgpack"
+        assert seed.read_text() == "p1c"
+        # every phase the chain checks is marked done, INCLUDING p2m (the
+        # chain must then fall back to p1c instead of --load "")
+        for ph in ("acc1x", "acc1x-p2m", "acc1x-p1c"):
+            assert (ck / ph / ".done").exists()
+
+    def test_idempotent_second_run(self, tmp_path):
+        ck = self._sandbox(tmp_path)
+        self._run(tmp_path)
+        r = self._run(tmp_path)
+        assert r.returncode == 0, r.stderr
+        assert (ck / "acc1x" / "ckpt_00000001.msgpack").read_text() == "p1c"
+        assert not (ck / "r3-basin-r3-basin-acc1x").exists()
+
+    def test_chain_p2m_fallback_line_present(self):
+        """The chain-side half of the contract: empty-but-done p2m must fall
+        back to the p1c checkpoint (pinned textually; the chain needs a real
+        corpus + chip to execute)."""
+        root = os.path.join(os.path.dirname(__file__), "..")
+        with open(os.path.join(root, "scripts", "r4_chain.sh")) as f:
+            src = f.read()
+        assert '[ -n "$P2M" ] || P2M=$P1C' in src
