@@ -44,8 +44,12 @@ deadline=$(( $(date +%s) + MAX_HOURS * 3600 ))
 log() { echo "[watchdog] $* at $(date -u +%H:%M:%S)"; }
 
 probe() {  # 0 = tunnel up. Hard timeout: the axon failure mode is a HANG.
+  # Must assert the platform, not just non-empty devices: when the axon
+  # plugin errors (the BENCH_r03 mode) JAX can fall back to CPU, and a
+  # CPU-satisfied probe would run the whole perf chain on the host.
   timeout "$PROBE_TIMEOUT_S" python -c \
-    "import jax; assert jax.devices()" >/dev/null 2>&1
+    "import jax; assert any(d.platform == 'tpu' for d in jax.devices())" \
+    >/dev/null 2>&1
 }
 
 tunnel_wait() {  # block until the tunnel answers; log the outage span
@@ -76,14 +80,21 @@ git_commit_artifacts() {  # $1 = message, rest = files (commit only if new)
 perf_first() {  # VERDICT #1: perf artifacts before training, each gated
   # profile_decode writes incrementally; "complete": true marks a full grid.
   # A partial file (tunnel died mid-grid) is kept as evidence but re-run.
+  # Commit each artifact AS IT LANDS: if the deadline guard (or a second
+  # outage) kills this mid-sweep, the finished pieces must already be in git.
   if ! grep -q '"complete": true' PERF_PROFILE.json 2>/dev/null; then
     log "perf: profile_decode"
     timeout 2700 python scripts/profile_decode.py --batches 32,64,128 \
         --json-out PERF_PROFILE.json || log "profile_decode failed"
+    git_commit_artifacts \
+      "Per-stage decode profile from the real chip" PERF_PROFILE.json
   fi
   if [ ! -f PERF_BEST.json ]; then
     log "perf: batch x fused sweep"
     timeout 7200 bash scripts/perf_sweep.sh || log "perf_sweep failed"
+    git_commit_artifacts \
+      "Batch x fused-kernel sweep from the real chip" \
+      PERF_SWEEP.jsonl PERF_BEST.json
   fi
   if [ ! -f BENCH_SELF.json ]; then
     log "perf: bench snapshot"
