@@ -38,7 +38,10 @@ import jax.numpy as jnp
 from tal_asrd_tpu.core.config import ModelConfig
 from tal_asrd_tpu.decode import BeamSearchSpec, beam_search
 from tal_asrd_tpu.decode.fused_step import FusedASRDecoder
-from tal_asrd_tpu.decode.unaligned import UnalignedSpec, unaligned_decode
+from tal_asrd_tpu.decode.unaligned import (
+    UnalignedSpec,
+    unaligned_decode_batched,
+)
 from tal_asrd_tpu.models import ASRModel
 from tal_asrd_tpu.utils.flops import greedy_decode_flops, greedy_decode_roofline
 
@@ -100,17 +103,34 @@ def _deadline_guard():
 
 
 def main():
+    # BENCH_PLATFORM=cpu: reliable platform pin for CPU smokes (the env-var
+    # JAX_PLATFORMS route is sometimes pre-empted by the axon plugin; the
+    # in-process config update is not).
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     guard = _deadline_guard()
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     max_new = int(os.environ.get("BENCH_STEPS", "96"))
     beam = int(os.environ.get("BENCH_BEAM", "1"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     episode_secs = float(os.environ.get("BENCH_EPISODE_SECS", "600"))
+    # N full episodes decoded in lockstep through the vmapped state machine
+    # (decode/unaligned.py unaligned_decode_batched): serving throughput for
+    # the long-form path is lanes x episode time / max-lane wall, which the
+    # reference cannot express (its machine is host-sequential per episode,
+    # system.py:411-421). Lane-equivalent single-episode numbers from earlier
+    # rounds = value / unaligned_episodes.
+    episodes = int(os.environ.get("BENCH_EPISODES", "4"))
     skip_extras = os.environ.get("BENCH_SKIP_EXTRAS", "0") == "1"
     peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "197")) * 1e12
 
     t = int(WINDOW_SECS * SR)
-    cfg = ModelConfig(model_type="2x", num_speakers=64, vocab_size=10000)
+    # TAL_TINY_ARCH: same debug shrink as cli/args.py:119 — makes the full
+    # bench CPU-smokeable (tests/test_bench_smoke.py). Numbers are flagged.
+    tiny = bool(os.environ.get("TAL_TINY_ARCH"))
+    cfg = ModelConfig(model_type="2x", num_speakers=64, vocab_size=10000,
+                      **(dict(tds_depths=(1, 1, 1), width_mult=0.1,
+                              d_decoder_override=64) if tiny else {}))
     model = ASRModel(cfg, dtype=jnp.bfloat16)
     # BENCH_FUSED=1: decode through the fused Pallas layer-step kernel
     # (ops/pallas_decode.py); encode stays on the flax/XLA path.
@@ -119,8 +139,12 @@ def main():
     # BENCH_FUSED_INTERPRET=1: CPU smoke of the fused code path (Mosaic
     # compiles only on TPU); numbers are meaningless, plumbing is real.
     fused_interp = os.environ.get("BENCH_FUSED_INTERPRET", "0") == "1"
+    # BENCH_FUSED_KV8=1: int8 cross-K/V in the fused step (halves the decode
+    # step's dominant HBM read); the fused numerics probe below carries the
+    # accept gate (greedy-token agreement vs flax).
+    fused_kv8 = os.environ.get("BENCH_FUSED_KV8", "0") == "1"
     dec_model = (FusedASRDecoder(model, block_b=fused_block,
-                                 interpret=fused_interp)
+                                 interpret=fused_interp, kv8=fused_kv8)
                  if use_fused else model)
 
     rng = jax.random.PRNGKey(0)
@@ -130,6 +154,8 @@ def main():
     variables = model.init({"params": rng}, audio, y0, audio_lens)
 
     extras = {}
+    if tiny:
+        extras["tiny_arch"] = True  # debug smoke — numbers are meaningless
     if use_fused:
         # On-silicon numerics gate (VERDICT r3 #3): throughput alone must not
         # flip the fused default — a Mosaic miscompile would be silent in a
@@ -168,6 +194,7 @@ def main():
             match = match and bool(jnp.all(nxt_r == nxt_f))
             toks = nxt_r
         extras["fused_logit_maxdiff"] = round(maxdiff, 5)
+        extras["fused_kv8"] = fused_kv8
         extras["fused_greedy_token_match"] = match
 
     def make_decode(k):
@@ -228,38 +255,51 @@ def main():
         extras["beam5_audio_hours_per_hour"] = round(audio_secs / per_b5, 2)
 
         # ---- 3. unaligned full-episode state machine -----------------------
+        # N episodes in lockstep through the vmapped machine: wall time is
+        # the slowest lane, so throughput scales ~linearly in lanes until
+        # the per-step tensors stop being dispatch-bound.
         ep_t = int(episode_secs * SR)
-        ep_audio = jax.random.normal(jax.random.PRNGKey(1), (1, ep_t),
+        ep_audio = jax.random.normal(jax.random.PRNGKey(1), (episodes, ep_t),
                                      jnp.float32) * 0.1
-        ep_lens = jnp.full((1,), ep_t, jnp.int32)
+        ep_lens = jnp.full((episodes,), ep_t, jnp.int32)
         spec_u = UnalignedSpec(
             eos_id=1, chunk_size=357, max_positions=cfg.max_positions,
             max_tokens=8192, max_iters=int(episode_secs * 6),  # ~6 tok/s budget
             max_outer=4096,
         )
 
-        un_model = FusedASRDecoder(model) if use_fused else model
+        # The unaligned machine is vmapped over lanes; pallas_call under
+        # vmap is an untested composition here, so the fused kernel needs
+        # its own opt-in — a headline BENCH_FUSED=1 default must not be able
+        # to take down the whole bench artifact via this leg.
+        un_fused = os.environ.get("BENCH_FUSED_UNALIGNED", "0") == "1"
+        un_model = FusedASRDecoder(model) if (use_fused and un_fused) else model
 
         @jax.jit
         def unaligned(variables, a, l):
             enc = model.apply(variables, a, l, False, method=ASRModel.encode)
-            n = (
-                (~enc["encoder_padding_mask"][0]).sum()
-                if enc["encoder_padding_mask"] is not None
-                else enc["encoder_out"].shape[1]
+            mask = enc.get("encoder_padding_mask")
+            ns = (
+                (~mask).sum(-1).astype(jnp.int32)
+                if mask is not None
+                else jnp.full((a.shape[0],), enc["encoder_out"].shape[1],
+                              jnp.int32)
             )
-            return unaligned_decode(un_model, variables, enc, n, spec_u)
+            return unaligned_decode_batched(un_model, variables, enc, ns,
+                                            spec_u)
 
         out = unaligned(variables, ep_audio, ep_lens)
-        int(np.asarray(out["num_tokens"]))  # compile fence
+        int(np.asarray(out["num_tokens"]).sum())  # compile fence
         t0 = time.perf_counter()
         out = unaligned(variables, ep_audio, ep_lens)
-        n_tok = int(np.asarray(out["num_tokens"]))
+        n_tok = int(np.asarray(out["num_tokens"]).sum())
         wall = time.perf_counter() - t0
-        extras["unaligned_audio_hours_per_hour"] = round(episode_secs / wall, 2)
+        extras["unaligned_audio_hours_per_hour"] = round(
+            episodes * episode_secs / wall, 2)
+        extras["unaligned_episodes"] = episodes
         extras["unaligned_episode_secs"] = episode_secs
         extras["unaligned_tokens"] = n_tok
-        extras["unaligned_iters"] = int(np.asarray(out["iters"]))
+        extras["unaligned_iters"] = int(np.asarray(out["iters"]).max())
 
         # ---- 3b. unaligned decode on TRAINED weights + real synth episode --
         # The noise+random-init variant above is a stress case (the state
@@ -283,11 +323,15 @@ def main():
                                vocab_size=len(tok))
             tmodel = ASRModel(tcfg, dtype=jnp.bfloat16)
             with tempfile.TemporaryDirectory() as td:
-                build_synth_corpus(td, n_episodes=1, episode_seconds=120.0,
+                build_synth_corpus(td, n_episodes=episodes,
+                                   episode_seconds=120.0,
                                    n_speakers=n_spk, seed=999)
-                ep = load_audio_segment(os.path.join(td, "ep0.wav"), 0.0, None)
-            ta = jnp.asarray(ep)[None]
-            tl = jnp.asarray([ta.shape[1]])
+                eps = [np.asarray(load_audio_segment(
+                    os.path.join(td, f"ep{i}.wav"), 0.0, None))
+                    for i in range(episodes)]
+            ep_len = min(len(e) for e in eps)
+            ta = jnp.asarray(np.stack([e[:ep_len] for e in eps]))
+            tl = jnp.full((episodes,), ep_len, jnp.int32)
             tvars = {"params": load_pytree(trained)}
             tspec = UnalignedSpec(
                 eos_id=tok.eos_token_id, chunk_size=357,
@@ -299,24 +343,29 @@ def main():
             def unaligned_trained(variables, a, l):
                 enc = tmodel.apply(variables, a, l, False,
                                    method=ASRModel.encode)
-                n = (
-                    (~enc["encoder_padding_mask"][0]).sum()
-                    if enc["encoder_padding_mask"] is not None
-                    else enc["encoder_out"].shape[1]
+                mask = enc.get("encoder_padding_mask")
+                ns = (
+                    (~mask).sum(-1).astype(jnp.int32)
+                    if mask is not None
+                    else jnp.full((a.shape[0],),
+                                  enc["encoder_out"].shape[1], jnp.int32)
                 )
-                return unaligned_decode(tmodel, variables, enc, n, tspec)
+                return unaligned_decode_batched(tmodel, variables, enc, ns,
+                                                tspec)
 
             out_t = unaligned_trained(tvars, ta, tl)
-            int(np.asarray(out_t["num_tokens"]))  # compile fence
+            int(np.asarray(out_t["num_tokens"]).sum())  # compile fence
             t0 = time.perf_counter()
             out_t = unaligned_trained(tvars, ta, tl)
-            n_tok_t = int(np.asarray(out_t["num_tokens"]))
+            n_tok_t = int(np.asarray(out_t["num_tokens"]).sum())
             wall_t = time.perf_counter() - t0
             ep_secs = ta.shape[1] / SR
             extras["unaligned_trained_audio_hours_per_hour"] = round(
-                ep_secs / wall_t, 2)
+                episodes * ep_secs / wall_t, 2)
+            extras["unaligned_trained_episodes"] = episodes
             extras["unaligned_trained_tokens"] = n_tok_t
-            extras["unaligned_trained_iters"] = int(np.asarray(out_t["iters"]))
+            extras["unaligned_trained_iters"] = int(
+                np.asarray(out_t["iters"]).max())
 
     # ---- standing accuracy regression numbers (scripts/accuracy.sh) --------
     root = os.path.dirname(os.path.abspath(__file__))
