@@ -19,11 +19,12 @@ OUT=PERF_SWEEP.jsonl
 # single hardcoded block could OOM and silently lose every fused data point.
 FUSED_BLOCKS=${SWEEP_FUSED_BLOCKS:-"4 8"}
 
-run_one() {  # batch fused block
-  local b=$1 fused=$2 blk=$3
-  echo "--- batch=$b fused=$fused block=$blk" >&2
+run_one() {  # batch fused block kv8
+  local b=$1 fused=$2 blk=$3 kv8=${4:-0}
+  echo "--- batch=$b fused=$fused block=$blk kv8=$kv8" >&2
   local line
   line=$(BENCH_BATCH=$b BENCH_FUSED=$fused BENCH_FUSED_BLOCK=$blk \
+         BENCH_FUSED_KV8=$kv8 \
          BENCH_SKIP_EXTRAS=1 BENCH_ITERS=6 timeout 900 python bench.py \
          | tail -1)
   if [ -n "$line" ]; then
@@ -34,28 +35,45 @@ run_one() {  # batch fused block
 import json, os, sys
 row = json.loads(os.environ["ROW"])
 row["batch"] = int(sys.argv[1]); row["fused"] = int(sys.argv[2])
-row["fused_block"] = int(sys.argv[3])
+row["fused_block"] = int(sys.argv[3]); row["kv8"] = int(sys.argv[4])
 print(json.dumps(row))
-' "$b" "$fused" "$blk" >> "$OUT" \
-      || echo "{\"batch\": $b, \"fused\": $fused, \"fused_block\": $blk, \"error\": \"row parse failed\"}" >> "$OUT"
+' "$b" "$fused" "$blk" "$kv8" >> "$OUT" \
+      || echo "{\"batch\": $b, \"fused\": $fused, \"fused_block\": $blk, \"kv8\": $kv8, \"error\": \"row parse failed\"}" >> "$OUT"
   else
-    echo "{\"batch\": $b, \"fused\": $fused, \"fused_block\": $blk, \"error\": \"bench failed\"}" >> "$OUT"
+    echo "{\"batch\": $b, \"fused\": $fused, \"fused_block\": $blk, \"kv8\": $kv8, \"error\": \"bench failed\"}" >> "$OUT"
   fi
 }
 
-for b in $BATCHES; do
-  run_one "$b" 0 8
-  for blk in $FUSED_BLOCKS; do
-    run_one "$b" 1 "$blk"
-  done
-done
-
-python - <<'PY'
+summarize() {
+  python - <<'PY'
 import json
 rows = [json.loads(l) for l in open("PERF_SWEEP.jsonl")]
-ok = [r for r in rows if "value" in r]
+# a fused/kv8 row may only win if its on-silicon numerics gate passed
+ok = [r for r in rows
+      if "value" in r and r.get("fused_greedy_token_match", True)]
 best = max(ok, key=lambda r: r["value"]) if ok else None
 print(json.dumps({"n_configs": len(rows), "best": best}, indent=1))
 if best:
     json.dump(best, open("PERF_BEST.json", "w"))
 PY
+}
+
+for b in $BATCHES; do
+  run_one "$b" 0 8 0
+  for blk in $FUSED_BLOCKS; do
+    run_one "$b" 1 "$blk" 0
+  done
+done
+summarize
+
+# kv8 extension (int8 cross-K/V, the decode step's dominant HBM read): only
+# spend chip time on it if a fused row won the base grid — kv8 rides on the
+# fused kernel, so it cannot win where fused itself loses. Token-agreement
+# and logit-maxdiff gates ride in each row (bench numerics probe).
+if [ -f PERF_BEST.json ] && \
+   python -c 'import json,sys; sys.exit(0 if json.load(open("PERF_BEST.json")).get("fused")==1 else 1)'; then
+  BB=$(python -c 'import json; print(json.load(open("PERF_BEST.json"))["batch"])')
+  BLK=$(python -c 'import json; print(json.load(open("PERF_BEST.json"))["fused_block"])')
+  run_one "$BB" 1 "$BLK" 1
+  summarize
+fi

@@ -27,14 +27,24 @@ import jax.numpy as jnp
 
 from tal_asrd_tpu.models.asr import ASRModel
 from tal_asrd_tpu.models.decoder import sinusoidal_positions
-from tal_asrd_tpu.ops.pallas_decode import fused_layer_step, pack_decoder
+from tal_asrd_tpu.ops.pallas_decode import (
+    fused_layer_step,
+    pack_decoder,
+    quantize_mem_kv,
+)
 
 
 class FusedASRDecoder:
-    """Drop-in decode-surface replacement for an ASRModel (inference only)."""
+    """Drop-in decode-surface replacement for an ASRModel (inference only).
+
+    kv8=True stores the precomputed cross-attention K/V int8 with per-channel
+    f32 scales (ops/pallas_decode.py quantize_mem_kv): the cross-K/V re-read
+    is the decode step's dominant HBM traffic, so int8 halves the memory-bound
+    floor vs bf16. Greedy-token agreement vs the flax path is the accept gate
+    (bench.py fused numerics probe)."""
 
     def __init__(self, model: ASRModel, interpret: bool = False,
-                 block_b: Optional[int] = None):
+                 block_b: Optional[int] = None, kv8: bool = False):
         assert not model.cfg.use_speaker_head, (
             "fused decode path covers the speaker-token mode; the speaker "
             "head adds a second decoder stack (use the flax path)"
@@ -44,6 +54,7 @@ class FusedASRDecoder:
         self.dtype = model.dtype
         self.interpret = interpret
         self.block_b = block_b
+        self.kv8 = kv8
         self._pe = jnp.asarray(
             sinusoidal_positions(model.cfg.max_positions, model.cfg.d_decoder),
             model.dtype,
@@ -101,14 +112,18 @@ class FusedASRDecoder:
         }
 
     def precompute_mem_kvs(self, variables, memory: jax.Array):
-        """Per-layer cross K/V, flattened [B, S, H*dh]."""
+        """Per-layer cross K/V, flattened [B, S, H*dh]; int8+scales if kv8."""
         out = []
         for li in range(self.cfg.n_decoder_layers):
             lp = variables["params"]["decoder"][f"layers_{li}"]["cross_attn"]
             kv = memory @ jnp.asarray(lp["kv"]["kernel"], self.dtype)
             kv = kv + jnp.asarray(lp["kv"]["bias"], self.dtype)
             k, v = jnp.split(kv, 2, axis=-1)
-            out.append({"k": k, "v": v})
+            if self.kv8:
+                k8, sk, v8, sv = quantize_mem_kv(k, v)
+                out.append({"k": k8, "v": v8, "sk": sk, "sv": sv})
+            else:
+                out.append({"k": k, "v": v})
         return tuple(out)
 
     def decode_step(self, variables, y_tok: jax.Array, state: Dict[str, Any]):
@@ -133,12 +148,13 @@ class FusedASRDecoder:
         new_caches = []
         attn_sum = None
         for li, w in enumerate(packed):
-            mk = state["mem_kvs"][li]["k"]
-            mv = state["mem_kvs"][li]["v"]
+            kv = state["mem_kvs"][li]
             x, attn, ck, cv = fused_layer_step(
-                x, w, caches[li]["k"], caches[li]["v"], mk, mv, bias, idx,
+                x, w, caches[li]["k"], caches[li]["v"], kv["k"], kv["v"],
+                bias, idx,
                 n_head=self.cfg.n_head, interpret=self.interpret,
                 block_b=self.block_b,
+                mem_k_scale=kv.get("sk"), mem_v_scale=kv.get("sv"),
             )
             new_caches.append({"k": ck, "v": cv})
             attn_sum = attn if attn_sum is None else attn_sum + attn
@@ -160,9 +176,14 @@ class FusedASRDecoder:
 
         def unflat(kv):
             b, s, _ = kv["k"].shape
+            k, v = kv["k"], kv["v"]
+            if "sk" in kv:  # kv8: dequantize for the flax prefill path
+                # (prefill happens once per window event — off the hot loop)
+                k = (k.astype(jnp.float32) * kv["sk"]).astype(self.dtype)
+                v = (v.astype(jnp.float32) * kv["sv"]).astype(self.dtype)
             return {
-                "k": kv["k"].reshape(b, s, h, dh),
-                "v": kv["v"].reshape(b, s, h, dh),
+                "k": k.reshape(b, s, h, dh),
+                "v": v.reshape(b, s, h, dh),
             }
 
         flax_kvs = tuple(unflat(kv) for kv in mem_kvs)

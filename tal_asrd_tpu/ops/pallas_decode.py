@@ -50,8 +50,10 @@ def _layer_step_kernel(
     wf2_ref, bf2_ref,           # [F, D], [1, D]
     rw_ref,                     # SMEM [1, 2] f32: (resweight, resweight_src)
     ck_in_ref, cv_in_ref,       # [B, L, D] self KV cache (aliased to outputs)
-    memk_ref, memv_ref,         # [B, S, D] cross K/V
+    memk_ref, memv_ref,         # [B, S, D] cross K/V (bf16/f32 OR int8)
     membias_ref,                # [B, S] f32 additive mask (0 / -inf)
+    sk_ref, sv_ref,             # [1, D] f32 per-channel cross-K/V dequant
+                                #   scales (all-ones for unquantized K/V)
     # outputs
     x_out_ref,                  # [B, D]
     attn_out_ref,               # [B, S] f32 mean-head cross weights
@@ -101,8 +103,13 @@ def _layer_step_kernel(
     # ---- cross-attention over the precomputed window K/V ----------------
     qc = jnp.dot(x1.astype(x.dtype), wcq_ref[:], preferred_element_type=f32)
     qc = qc + bcq_ref[0][None, :]
-    memk = memk_ref[:].astype(f32)                  # [B, S, D]
-    memv = memv_ref[:].astype(f32)
+    # Dequant (or identity): the cross-K/V re-read is the dominant HBM
+    # traffic of the decode step (~190 MB/step at B=32 bench shapes, see
+    # ARCHITECTURE.md roofline) — int8 storage halves it vs bf16. Scales are
+    # per-channel so the multiply is exact algebra; only the int8 rounding
+    # itself perturbs numerics.
+    memk = memk_ref[:].astype(f32) * sk_ref[0][None, None, :]  # [B, S, D]
+    memv = memv_ref[:].astype(f32) * sv_ref[0][None, None, :]
     bias = membias_ref[:]                           # [B, S]
     s = memk.shape[1]
     ca = jnp.zeros((b, d), f32)
@@ -144,6 +151,8 @@ def fused_layer_step(
     n_head: int,
     interpret: bool = False,
     block_b: Optional[int] = None,
+    mem_k_scale: Optional[jax.Array] = None,  # [D] f32 (int8 mem_k dequant)
+    mem_v_scale: Optional[jax.Array] = None,  # [D] f32 (int8 mem_v dequant)
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """One fused decoder layer step. Returns (x_out, attn_mean, new_ck, new_cv).
 
@@ -158,6 +167,10 @@ def fused_layer_step(
     b, d = x.shape
     s = mem_k.shape[1]
     l_buf = cache_k.shape[1]
+    if mem_k_scale is None:
+        mem_k_scale = jnp.ones((d,), jnp.float32)
+    if mem_v_scale is None:
+        mem_v_scale = jnp.ones((d,), jnp.float32)
     if block_b is None or block_b >= b:
         blk, grid = b, 1
     else:
@@ -193,6 +206,7 @@ def fused_layer_step(
             + [batched((blk, l_buf, d)), batched((blk, l_buf, d))]  # ck cv
             + [batched((blk, s, d)), batched((blk, s, d))]     # memk memv
             + [batched((blk, s))]                              # bias
+            + [full((1, d)), full((1, d))]                     # sk sv
         ),
         out_specs=[
             batched((blk, d)),
@@ -212,7 +226,8 @@ def fused_layer_step(
     # flattened inputs"; the convention is backend-independent — aliases are
     # resolved once at the jaxpr level before lowering, so interpret-mode
     # parity covers the compiled path too).
-    # inputs: 0:idx 1:x 2..13:weights 14:rw 15:ck 16:cv 17:memk 18:memv 19:bias
+    # inputs: 0:idx 1:x 2..13:weights 14:rw 15:ck 16:cv 17:memk 18:memv
+    #         19:bias 20:sk 21:sv
     x_out, attn, ck, cv = pl.pallas_call(
         functools.partial(_layer_step_kernel, n_head=n_head),
         grid_spec=grid_spec,
@@ -232,8 +247,35 @@ def fused_layer_step(
         cache_k, cache_v,
         mem_k, mem_v,
         mem_bias.astype(jnp.float32),
+        jnp.asarray(mem_k_scale, jnp.float32).reshape(1, d),
+        jnp.asarray(mem_v_scale, jnp.float32).reshape(1, d),
     )
     return x_out, attn, ck, cv
+
+
+def quantize_mem_kv(
+    mem_k: jax.Array, mem_v: jax.Array
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Per-channel symmetric int8 quantization of the precomputed cross K/V.
+
+    Returns (k_int8, k_scale[D], v_int8, v_scale[D]) for fused_layer_step's
+    mem_k/mem_v + mem_k_scale/mem_v_scale. Channel-wise (last-dim) scales
+    fold exactly outside both attention reductions — logits fold into q,
+    values fold after the prob-weighted sum — so the only numeric deviation
+    is the int8 rounding (~1% relative on the K/V entries). Quantization
+    runs once per window configuration (the cross K/V precompute), never in
+    the per-token loop."""
+
+    def q(x):
+        xf = x.astype(jnp.float32)
+        s = jnp.max(jnp.abs(xf), axis=tuple(range(x.ndim - 1))) / 127.0
+        s = jnp.maximum(s, 1e-8)
+        xi = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+        return xi, s
+
+    k8, sk = q(mem_k)
+    v8, sv = q(mem_v)
+    return k8, sk, v8, sv
 
 
 def pack_layer(layer_params: Dict, dtype=jnp.bfloat16) -> Dict[str, jax.Array]:

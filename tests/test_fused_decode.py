@@ -135,3 +135,63 @@ def test_unaligned_decode_with_fused_model(built):
     toks_r = list(np.asarray(out_ref["tokens"])[0, :n_r])
     toks_f = list(np.asarray(out_f["tokens"])[0, :n_f])
     assert toks_r == toks_f, (toks_r, toks_f)
+
+
+@pytest.mark.slow
+def test_fused_decode_step_kv8_token_agreement(built):
+    """kv8 (int8 cross-K/V) deviates only by quantization rounding: greedy
+    tokens must agree with the flax path and logits stay within a loose
+    band. This mirrors the on-silicon accept gate in bench.py."""
+    model, variables, enc = built
+    fused = FusedASRDecoder(model, interpret=True, kv8=True)
+
+    max_len = 8
+    st_ref = model.apply(variables, enc, 2, max_len,
+                         method=ASRModel.init_decode_state)
+    st_f = fused.apply(variables, enc, 2, max_len,
+                       method=FusedASRDecoder.init_decode_state)
+    # int8 storage actually happened
+    assert st_f["mem_kvs"][0]["k"].dtype == jnp.int8
+    assert "sk" in st_f["mem_kvs"][0]
+
+    toks = jnp.array([[1], [2]], jnp.int32)
+    for step in range(4):
+        lo_r, _, _, st_ref = model.apply(
+            variables, toks, st_ref, method=ASRModel.decode_step
+        )
+        lo_f, _, _, st_f = fused.apply(
+            variables, toks, st_f, method=FusedASRDecoder.decode_step
+        )
+        np.testing.assert_allclose(
+            np.asarray(lo_f, np.float32), np.asarray(lo_r, np.float32),
+            rtol=0.08, atol=0.08, err_msg=f"kv8 logits step {step}",
+        )
+        assert bool(jnp.all(jnp.argmax(lo_f, -1) == jnp.argmax(lo_r, -1))), (
+            f"greedy token divergence at step {step}"
+        )
+        toks = jnp.argmax(lo_r, -1)[:, None].astype(jnp.int32)
+
+
+@pytest.mark.slow
+def test_fused_prefill_kv8(built):
+    """decode_prefill must dequantize int8 mem K/V for the flax prefill."""
+    model, variables, enc = built
+    fused = FusedASRDecoder(model, interpret=True, kv8=True)
+    mem_kvs = fused.apply(variables, enc["encoder_out"],
+                          method=FusedASRDecoder.precompute_mem_kvs)
+    y = jnp.array([[1, 2, 3], [2, 3, 4]], jnp.int32)
+    logits, attn, caches = fused.apply(
+        variables, y, mem_kvs, enc["encoder_padding_mask"], 8,
+        method=FusedASRDecoder.decode_prefill,
+    )
+    # against the exact (unquantized) prefill
+    exact = FusedASRDecoder(model, interpret=True)
+    mem_e = exact.apply(variables, enc["encoder_out"],
+                        method=FusedASRDecoder.precompute_mem_kvs)
+    lo_e, _, _ = exact.apply(
+        variables, y, mem_e, enc["encoder_padding_mask"], 8,
+        method=FusedASRDecoder.decode_prefill,
+    )
+    np.testing.assert_allclose(np.asarray(logits, np.float32),
+                               np.asarray(lo_e, np.float32),
+                               rtol=0.08, atol=0.08)

@@ -97,3 +97,37 @@ def test_fused_layer_step_batch_blocks(layer):
     for a, b_ in zip(o1, o2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_fused_layer_step_kv8_close_to_exact(layer):
+    """int8 cross-K/V + per-channel scales (quantize_mem_kv): the only
+    deviation from the exact kernel is the int8 rounding of K/V entries, so
+    outputs must sit within a small absolute band of the unquantized run."""
+    from tal_asrd_tpu.ops.pallas_decode import quantize_mem_kv
+
+    ly, params, mem = layer
+    variables = {"params": params}
+    mem_kv = ly.apply(variables, mem, method=RZDecoderLayer.precompute_mem_kv)
+    bias = jnp.zeros((B, S), jnp.float32)
+    w = pack_layer(params, dtype=jnp.float32)
+    mk = mem_kv["k"].reshape(B, S, D)
+    mv = mem_kv["v"].reshape(B, S, D)
+    k8, sk, v8, sv = quantize_mem_kv(mk, mv)
+    assert k8.dtype == jnp.int8 and sk.shape == (D,)
+    # dequantized reconstruction is ~1% relative on K/V entries
+    rec = np.asarray(k8, np.float32) * np.asarray(sk)
+    scale = np.abs(np.asarray(mk)).max()
+    np.testing.assert_allclose(rec, np.asarray(mk), atol=scale / 120.0)
+
+    x = jax.random.normal(jax.random.PRNGKey(7), (B, D)) * 0.5
+    idx = jnp.asarray(0, jnp.int32)
+    args = (x, w, jnp.zeros((B, L, D)), jnp.zeros((B, L, D)))
+    out_e, attn_e, _, _ = fused_layer_step(
+        *args, mk, mv, bias, idx, n_head=H, interpret=True)
+    out_q, attn_q, _, _ = fused_layer_step(
+        *args, k8, v8, bias, idx, n_head=H, interpret=True,
+        mem_k_scale=sk, mem_v_scale=sv)
+    np.testing.assert_allclose(np.asarray(out_q), np.asarray(out_e),
+                               rtol=0.05, atol=0.05)
+    np.testing.assert_allclose(np.asarray(attn_q), np.asarray(attn_e),
+                               rtol=0.1, atol=0.02)
