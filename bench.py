@@ -240,7 +240,8 @@ def main():
     # achievable ceiling on this chip (grouped convs + per-step KV re-reads
     # make the graph memory-bound; see utils/flops.py roofline). Headline
     # efficiency is pct_of_achievable, not raw MFU vs dense peak.
-    rl = greedy_decode_roofline(cfg, batch, t, max_new, beam, peak=peak)
+    rl = greedy_decode_roofline(cfg, batch, t, max_new, beam, peak=peak,
+                                kv8=(use_fused and fused_kv8))
     extras["achievable_mfu_pct"] = round(rl["achievable_mfu_pct"], 2)
     extras["pct_of_achievable"] = round(
         100.0 * (af / per_batch / peak)

@@ -148,7 +148,8 @@ def _decoder_weight_bytes(cfg: ModelConfig, n_layers: int = 4) -> float:
 
 
 def decode_step_bytes(cfg: ModelConfig, batch: int, hist_len: int,
-                      enc_len: int, n_layers: int = 4) -> float:
+                      enc_len: int, n_layers: int = 4,
+                      kv8: bool = False) -> float:
     """Minimum HBM traffic of ONE KV-cached decode step.
 
     Every step re-reads (a) ALL decoder weights — batch-amortized, and
@@ -156,12 +157,18 @@ def decode_step_bytes(cfg: ModelConfig, batch: int, hist_len: int,
     cross-attention K+V over the encoder memory. At bench shapes (B=32,
     enc_len=357, d=512) the cross-KV re-read alone is ~190 MB/step — decode
     is memory-bound by construction and its achievable MFU scales ~linearly
-    with batch until the ridge point."""
+    with batch until the ridge point.
+
+    kv8: cross K/V stored int8 (+ per-channel f32 scales) by the fused
+    kernel path (ops/pallas_decode.py quantize_mem_kv) — 1 byte/entry
+    instead of _B for the dominant term."""
     d = cfg.d_decoder
-    kv = batch * n_layers * 2 * (hist_len + enc_len) * d * _B   # K+V reads
+    cross_b = 1 if kv8 else _B
+    kv = batch * n_layers * 2 * (hist_len * _B + enc_len * cross_b) * d
+    scales = (n_layers * 2 * d * 4) if kv8 else 0.0             # f32 scales
     new_kv = batch * n_layers * 2 * d * _B                      # K+V writes
     acts = batch * (cfg.embed_size + d + cfg.num_tokens) * _B   # in/out
-    return _decoder_weight_bytes(cfg, n_layers) + kv + new_kv + acts
+    return _decoder_weight_bytes(cfg, n_layers) + kv + scales + new_kv + acts
 
 
 def prefill_bytes(cfg: ModelConfig, batch: int, enc_len: int,
@@ -176,7 +183,8 @@ def prefill_bytes(cfg: ModelConfig, batch: int, enc_len: int,
 def greedy_decode_roofline(cfg: ModelConfig, batch: int, t_samples: int,
                            max_new: int, beam: int = 1,
                            peak: float = PEAK_BF16_V5E,
-                           bw: float = HBM_BW_V5E) -> dict:
+                           bw: float = HBM_BW_V5E,
+                           kv8: bool = False) -> dict:
     """Speed-of-light analysis of the bench headline graph.
 
     Returns total analytic flops/bytes, the per-stage and total
@@ -194,7 +202,7 @@ def greedy_decode_roofline(cfg: ModelConfig, batch: int, t_samples: int,
     flops, bytes_ = f_enc + f_pre, b_enc + b_pre
     for i in range(max_new):
         f = decode_step_flops(cfg, lanes, i + 1, enc_len)
-        b = decode_step_bytes(cfg, lanes, i + 1, enc_len)
+        b = decode_step_bytes(cfg, lanes, i + 1, enc_len, kv8=kv8)
         sol += max(f / peak, b / bw)  # steps serialize: per-step roofline
         flops += f
         bytes_ += b

@@ -126,3 +126,21 @@ class TestRoofline:
                                    rtol=1e-9)
         assert rl["sol_secs"] > 0
         assert rl["encode_sol_secs"] < rl["sol_secs"]
+
+
+def test_roofline_kv8_tightens_decode_bound():
+    """int8 cross-K/V halves the dominant decode bytes: the kv8 roofline
+    must show strictly lower speed-of-light time and a higher achievable
+    MFU (same FLOPs, fewer bytes), keeping pct_of_achievable honest when
+    the bench runs with BENCH_FUSED_KV8=1."""
+    from tal_asrd_tpu.core.config import ModelConfig
+    from tal_asrd_tpu.utils.flops import greedy_decode_roofline
+
+    cfg = ModelConfig(model_type="2x", num_speakers=64, vocab_size=10000)
+    t = int(28.56 * 16000)
+    base = greedy_decode_roofline(cfg, 32, t, 96)
+    q = greedy_decode_roofline(cfg, 32, t, 96, kv8=True)
+    assert q["flops"] == base["flops"]
+    assert q["bytes"] < base["bytes"]
+    assert q["sol_secs"] < base["sol_secs"]
+    assert q["achievable_mfu_pct"] > base["achievable_mfu_pct"]
