@@ -37,6 +37,10 @@ def get_argparser(is_train: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--num-speakers", type=int, default=0)
     p.add_argument("--quick-test", action="store_true", default=False)
     p.add_argument("--unaligned", action="store_true", default=False)
+    p.add_argument("--unaligned-lanes", type=int, default=8,
+                   help="decode up to N equal-length episodes in lockstep "
+                        "through the vmapped state machine (bit-identical "
+                        "per lane; ~Nx less wall time); 1 = sequential")
     p.add_argument("--shiftaug", action="store_true", default=False)
     p.add_argument("--alignaug", action="store_true", default=False)
     p.add_argument("--spk-weight", type=float, default=0)

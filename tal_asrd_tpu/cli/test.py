@@ -73,12 +73,29 @@ def main(argv=None):
                         lm=lm, lm_variables=lm_variables)
 
     if args.unaligned:
+        # Group episodes by exact audio length and decode each group in
+        # lockstep lanes (EvalRunner.test_step_unaligned_batched): per-lane
+        # results are token-identical to the sequential loop, wall time is
+        # the slowest lane per group. Only same-length episodes share a
+        # group — padding would perturb the encoder boundary.
+        lanes = max(1, args.unaligned_lanes)
+        groups: dict = {}
         for i in range(len(ds)):
             stub, utts = ds.index[i]
             wav = load_audio_segment(
                 os.path.join(data_dir, f"{stub}.wav"), 0.0, None
             )
-            runner.test_step_unaligned(wav, len(wav), utts)
+            groups.setdefault(len(wav), []).append((wav, utts))
+        for wav_len, items in groups.items():
+            for j in range(0, len(items), lanes):
+                part = items[j : j + lanes]
+                if len(part) == 1 or lanes == 1:
+                    for wav, utts in part:
+                        runner.test_step_unaligned(wav, wav_len, utts)
+                else:
+                    runner.test_step_unaligned_batched(
+                        [w for w, _ in part], wav_len,
+                        [u for _, u in part])
     else:
         loader = DataLoader(
             ds, args.val_batch_size or args.batch_size, coll,

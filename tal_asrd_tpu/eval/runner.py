@@ -25,7 +25,11 @@ import jax.numpy as jnp
 
 from tal_asrd_tpu.core.config import DecodeConfig
 from tal_asrd_tpu.decode.beam import BeamSearchSpec, beam_search
-from tal_asrd_tpu.decode.unaligned import UnalignedSpec, unaligned_decode
+from tal_asrd_tpu.decode.unaligned import (
+    UnalignedSpec,
+    unaligned_decode,
+    unaligned_decode_batched,
+)
 from tal_asrd_tpu.models.asr import ASRModel
 from tal_asrd_tpu.train.losses import masked_token_loss
 
@@ -166,41 +170,22 @@ class EvalRunner:
         return {"loss": loss}
 
     # ------------------------------------------------------------------
-    def test_step_unaligned(self, audio: np.ndarray, audio_len: int,
-                            ref_utts: List[dict],
-                            spec: Optional[UnalignedSpec] = None):
-        """One full episode (batch of 1, as upstream)."""
-        model = self.model
-        enc = model.apply(
-            self.variables, jnp.asarray(audio[None]),
-            jnp.asarray([audio_len]), False, method=ASRModel.encode,
+    def _default_unaligned_spec(self) -> UnalignedSpec:
+        return UnalignedSpec(
+            eos_id=self.tokenizer.eos_token_id,
+            chunk_size=self.cfg.chunk_size,
+            max_positions=self.model.cfg.max_positions,
+            thresh_prct=self.cfg.thresh_prct,
+            shift_prct=self.cfg.shift_prct,
+            stall_patience=self.cfg.stall_patience,
+            rep_n=self.cfg.rep_n,
+            skip_prct=self.cfg.skip_prct,
+            lm_weight=self.cfg.lm_weight if self.lm is not None else 0.0,
+            text_vocab_size=len(self.tokenizer),
         )
-        enc_len = (
-            int((~np.asarray(enc["encoder_padding_mask"][0])).sum())
-            if enc["encoder_padding_mask"] is not None
-            else enc["encoder_out"].shape[1]
-        )
-        if spec is None:
-            spec = UnalignedSpec(
-                eos_id=self.tokenizer.eos_token_id,
-                chunk_size=self.cfg.chunk_size,
-                max_positions=model.cfg.max_positions,
-                thresh_prct=self.cfg.thresh_prct,
-                shift_prct=self.cfg.shift_prct,
-                stall_patience=self.cfg.stall_patience,
-                rep_n=self.cfg.rep_n,
-                skip_prct=self.cfg.skip_prct,
-                lm_weight=self.cfg.lm_weight if self.lm is not None else 0.0,
-                text_vocab_size=len(self.tokenizer),
-            )
-        out = unaligned_decode(self._decode_model, self.variables, enc,
-                               jnp.asarray(enc_len), spec,
-                               lm=self.lm, lm_variables=self.lm_variables)
-        n = int(out["num_tokens"])
-        gen = list(np.asarray(out["tokens"][0, :n]))
-        attn = np.asarray(out["align_attn"][: n - 1], np.float32)
-        chunks = np.asarray(out["align_chunk"][: n - 1])
 
+    def _finish_unaligned(self, gen: List[int], attn: np.ndarray,
+                          chunks: np.ndarray, ref_utts: List[dict]):
         hyp = gen[:-1]  # system.py:689 drops the final token
         utts, splits = self.tokenizer.decode_speakers(hyp)
         entries = []
@@ -217,7 +202,76 @@ class EvalRunner:
             last = split_i
         self._append_outputs([ref_utts], [entries])
         self._losses.append(0.0)
-        return {"num_tokens": n, "num_utterances": len(entries)}
+        return {"num_tokens": len(gen), "num_utterances": len(entries)}
+
+    def test_step_unaligned(self, audio: np.ndarray, audio_len: int,
+                            ref_utts: List[dict],
+                            spec: Optional[UnalignedSpec] = None):
+        """One full episode (batch of 1, as upstream)."""
+        model = self.model
+        enc = model.apply(
+            self.variables, jnp.asarray(audio[None]),
+            jnp.asarray([audio_len]), False, method=ASRModel.encode,
+        )
+        enc_len = (
+            int((~np.asarray(enc["encoder_padding_mask"][0])).sum())
+            if enc["encoder_padding_mask"] is not None
+            else enc["encoder_out"].shape[1]
+        )
+        if spec is None:
+            spec = self._default_unaligned_spec()
+        out = unaligned_decode(self._decode_model, self.variables, enc,
+                               jnp.asarray(enc_len), spec,
+                               lm=self.lm, lm_variables=self.lm_variables)
+        n = int(out["num_tokens"])
+        gen = list(np.asarray(out["tokens"][0, :n]))
+        attn = np.asarray(out["align_attn"][: n - 1], np.float32)
+        chunks = np.asarray(out["align_chunk"][: n - 1])
+        return self._finish_unaligned(gen, attn, chunks, ref_utts)
+
+    def test_step_unaligned_batched(self, audios: List[np.ndarray],
+                                    audio_len: int,
+                                    ref_utts_list: List[List[dict]],
+                                    spec: Optional[UnalignedSpec] = None):
+        """N equal-length episodes in lockstep (unaligned_decode_batched).
+
+        Lanes are token-identical to standalone test_step_unaligned runs
+        (the vmapped machine freezes finished lanes; the bf16 attention
+        sidecar agrees to ULP — vmap reorders fusions), but wall time is the
+        slowest lane instead of the sum — the unaligned eval leg over a
+        test split of same-length episodes drops ~Nx in chip time.
+        Equal lengths are REQUIRED (callers group by length) so no lane is
+        ever padded: padding would perturb the encoder boundary and break
+        the token-identity contract."""
+        assert all(len(a) == audio_len for a in audios), (
+            "batched unaligned eval requires equal-length episodes; "
+            "group by length at the call site"
+        )
+        model = self.model
+        a = jnp.asarray(np.stack(audios))
+        lens = jnp.full((len(audios),), audio_len, jnp.int32)
+        enc = model.apply(self.variables, a, lens, False,
+                          method=ASRModel.encode)
+        mask = enc.get("encoder_padding_mask")
+        if mask is not None:
+            enc_lens = jnp.asarray(
+                (~np.asarray(mask)).sum(-1), jnp.int32)
+        else:
+            enc_lens = jnp.full((len(audios),), enc["encoder_out"].shape[1],
+                                jnp.int32)
+        if spec is None:
+            spec = self._default_unaligned_spec()
+        out = unaligned_decode_batched(
+            self._decode_model, self.variables, enc, enc_lens, spec,
+            lm=self.lm, lm_variables=self.lm_variables)
+        infos = []
+        for lane, ref_utts in enumerate(ref_utts_list):
+            n = int(out["num_tokens"][lane])
+            gen = list(np.asarray(out["tokens"][lane, :n]))
+            attn = np.asarray(out["align_attn"][lane, : n - 1], np.float32)
+            chunks = np.asarray(out["align_chunk"][lane, : n - 1])
+            infos.append(self._finish_unaligned(gen, attn, chunks, ref_utts))
+        return infos
 
     # ------------------------------------------------------------------
     def _append_outputs(self, ref_dec, hyp_dec):

@@ -197,3 +197,50 @@ def test_reconcile_helpers():
     assert merged[0][1][1] == 0
     assert merged[1][1][1] == 1
     assert merged[0][1][0].shape == (4,)
+
+
+@pytest.mark.slow
+def test_eval_runner_unaligned_batched_matches_sequential(tmp_path, tok,
+                                                          tiny_model):
+    """Grouped-lane unaligned eval (cli/test.py --unaligned-lanes) must be
+    bit-identical per episode to the sequential loop."""
+    model, variables, cfg = tiny_model
+    from tal_asrd_tpu.decode.unaligned import UnalignedSpec
+
+    spec = UnalignedSpec(
+        eos_id=tok.eos_token_id, chunk_size=32, max_positions=48,
+        stall_patience=6, max_tokens=96, max_iters=200, max_outer=40,
+    )
+    rng = np.random.RandomState(0)
+    audios = [rng.randn(32000).astype(np.float32) * 0.1 for _ in range(2)]
+    refs = [[{"utterance": "gold one", "speaker": "a"}],
+            [{"utterance": "gold two", "speaker": "b"}]]
+
+    seq = EvalRunner(model, variables, tok, DecodeConfig(),
+                     out_dir=str(tmp_path / "seq"))
+    for a, r in zip(audios, refs):
+        seq.test_step_unaligned(a, len(a), r, spec=spec)
+
+    bat = EvalRunner(model, variables, tok, DecodeConfig(),
+                     out_dir=str(tmp_path / "bat"))
+    infos = bat.test_step_unaligned_batched(audios, len(audios[0]), refs,
+                                            spec=spec)
+    assert len(infos) == 2
+
+    with open(tmp_path / "seq" / "test_result.pkl", "rb") as f:
+        pairs_s = pickle.load(f)
+    with open(tmp_path / "bat" / "test_result.pkl", "rb") as f:
+        pairs_b = pickle.load(f)
+    assert len(pairs_s) == len(pairs_b) == 2
+    for (ref_s, hyp_s), (ref_b, hyp_b) in zip(pairs_s, pairs_b):
+        assert ref_s == ref_b
+        assert len(hyp_s) == len(hyp_b)
+        for es, eb in zip(hyp_s, hyp_b):
+            assert es["utterance"] == eb["utterance"]
+            assert es["speakerId"] == eb["speakerId"]
+            assert list(es["utteranceTokens"]) == list(eb["utteranceTokens"])
+            np.testing.assert_array_equal(es["chunkStart"], eb["chunkStart"])
+            # align_attn is stored bf16; vmap changes fusion order, so the
+            # attention floats agree to bf16 ULP, not bitwise
+            np.testing.assert_allclose(es["attention"], eb["attention"],
+                                       rtol=1e-2, atol=1e-3)
