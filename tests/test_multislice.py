@@ -163,3 +163,45 @@ def test_window_parallel_sharded_decode(mesh):
         np.asarray(out_sh["lengths"]), np.asarray(out_ref["lengths"]))
     # outputs really are sharded over the data axes
     assert not out_sh["tokens"].sharding.is_fully_replicated
+
+
+def test_episode_parallel_sharded_unaligned(mesh):
+    """Long-form serving shape: N episodes sharded over the data axes, each
+    shard running lockstep lanes through the vmapped unaligned machine.
+    Tokens must match the unsharded lane-batched run."""
+    from tal_asrd_tpu.decode.sharded import make_sharded_unaligned
+    from tal_asrd_tpu.decode.unaligned import (
+        UnalignedSpec,
+        unaligned_decode_batched,
+    )
+    from tal_asrd_tpu.models import ASRModel
+
+    model = ASRModel(TINY, FE, dtype=jnp.float32)
+    n, t = 8, 6400
+    rng = jax.random.PRNGKey(0)
+    audio = jax.random.normal(rng, (n, t)) * 0.1
+    lens = jnp.full((n,), t, jnp.int32)
+    variables = model.init({"params": jax.random.PRNGKey(1)}, audio[:, :3200],
+                           jnp.zeros((n, 4), jnp.int32), lens - 3200)
+    variables = jax.tree_util.tree_map(
+        lambda x: x + 0.3 if x.ndim == 0 else x, variables)
+
+    spec = UnalignedSpec(
+        eos_id=1, chunk_size=16, max_positions=32, stall_patience=4,
+        max_tokens=48, max_iters=120, max_outer=24,
+    )
+    sharded = make_sharded_unaligned(model, spec, mesh)
+    out_sh = sharded(variables, audio, lens)
+
+    enc = model.apply(variables, audio, lens, False, method=ASRModel.encode)
+    mask = enc.get("encoder_padding_mask")
+    ns = ((~mask).sum(-1).astype(jnp.int32) if mask is not None
+          else jnp.full((n,), enc["encoder_out"].shape[1], jnp.int32))
+    out_ref = unaligned_decode_batched(model, variables, enc, ns, spec)
+
+    np.testing.assert_array_equal(
+        np.asarray(out_sh["num_tokens"]), np.asarray(out_ref["num_tokens"]))
+    np.testing.assert_array_equal(
+        np.asarray(out_sh["tokens"]), np.asarray(out_ref["tokens"]))
+    # episodes really are split across the data axes
+    assert not out_sh["tokens"].sharding.is_fully_replicated
