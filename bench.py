@@ -143,8 +143,12 @@ def main():
     # step's dominant HBM read); the fused numerics probe below carries the
     # accept gate (greedy-token agreement vs flax).
     fused_kv8 = os.environ.get("BENCH_FUSED_KV8", "0") == "1"
+    # BENCH_FUSED_W8=1: int8 decoder weights in the fused step (halves the
+    # next-largest HBM stream after kv8); same accept gate.
+    fused_w8 = os.environ.get("BENCH_FUSED_W8", "0") == "1"
     dec_model = (FusedASRDecoder(model, block_b=fused_block,
-                                 interpret=fused_interp, kv8=fused_kv8)
+                                 interpret=fused_interp, kv8=fused_kv8,
+                                 w8=fused_w8)
                  if use_fused else model)
 
     rng = jax.random.PRNGKey(0)
@@ -152,8 +156,24 @@ def main():
     audio_lens = jnp.full((batch,), t, jnp.int32)
     y0 = jnp.zeros((batch, 4), jnp.int32)
     variables = model.init({"params": rng}, audio, y0, audio_lens)
+    # Inference-width params: cast the f32 master weights to the model's bf16
+    # compute dtype ONCE, outside the decode loops. Flax casts per use, but
+    # the cast then sits INSIDE the decode while_loop body (the weights enter
+    # the loop carry at f32 width — verified in the lowered HLO), so every
+    # decode step re-reads the weights at twice the roofline's assumed bf16
+    # width unless XLA happens to hoist the converts. BENCH_BF16_PARAMS=0
+    # restores f32 master weights for A/B runs.
+    if os.environ.get("BENCH_BF16_PARAMS", "1") == "1":
+        variables = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+            variables)
+        extras_bf16 = True
+    else:
+        extras_bf16 = False
 
     extras = {}
+    extras["bf16_params"] = extras_bf16
     if tiny:
         extras["tiny_arch"] = True  # debug smoke — numbers are meaningless
     if use_fused:
@@ -195,6 +215,7 @@ def main():
             toks = nxt_r
         extras["fused_logit_maxdiff"] = round(maxdiff, 5)
         extras["fused_kv8"] = fused_kv8
+        extras["fused_w8"] = fused_w8
         extras["fused_greedy_token_match"] = match
 
     def make_decode(k):
@@ -241,7 +262,8 @@ def main():
     # make the graph memory-bound; see utils/flops.py roofline). Headline
     # efficiency is pct_of_achievable, not raw MFU vs dense peak.
     rl = greedy_decode_roofline(cfg, batch, t, max_new, beam, peak=peak,
-                                kv8=(use_fused and fused_kv8))
+                                kv8=(use_fused and fused_kv8),
+                                w8=(use_fused and fused_w8))
     extras["achievable_mfu_pct"] = round(rl["achievable_mfu_pct"], 2)
     extras["pct_of_achievable"] = round(
         100.0 * (af / per_batch / peak)
@@ -334,6 +356,11 @@ def main():
             ta = jnp.asarray(np.stack([e[:ep_len] for e in eps]))
             tl = jnp.full((episodes,), ep_len, jnp.int32)
             tvars = {"params": load_pytree(trained)}
+            if extras_bf16:
+                tvars = jax.tree_util.tree_map(
+                    lambda a: a.astype(jnp.bfloat16)
+                    if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+                    tvars)
             tspec = UnalignedSpec(
                 eos_id=tok.eos_token_id, chunk_size=357,
                 max_positions=tcfg.max_positions, max_tokens=4096,

@@ -19,12 +19,12 @@ OUT=PERF_SWEEP.jsonl
 # single hardcoded block could OOM and silently lose every fused data point.
 FUSED_BLOCKS=${SWEEP_FUSED_BLOCKS:-"4 8"}
 
-run_one() {  # batch fused block kv8
-  local b=$1 fused=$2 blk=$3 kv8=${4:-0}
-  echo "--- batch=$b fused=$fused block=$blk kv8=$kv8" >&2
+run_one() {  # batch fused block kv8 w8
+  local b=$1 fused=$2 blk=$3 kv8=${4:-0} w8=${5:-0}
+  echo "--- batch=$b fused=$fused block=$blk kv8=$kv8 w8=$w8" >&2
   local line
   line=$(BENCH_BATCH=$b BENCH_FUSED=$fused BENCH_FUSED_BLOCK=$blk \
-         BENCH_FUSED_KV8=$kv8 \
+         BENCH_FUSED_KV8=$kv8 BENCH_FUSED_W8=$w8 \
          BENCH_SKIP_EXTRAS=1 BENCH_ITERS=6 timeout 900 python bench.py \
          | tail -1)
   if [ -n "$line" ]; then
@@ -36,11 +36,12 @@ import json, os, sys
 row = json.loads(os.environ["ROW"])
 row["batch"] = int(sys.argv[1]); row["fused"] = int(sys.argv[2])
 row["fused_block"] = int(sys.argv[3]); row["kv8"] = int(sys.argv[4])
+row["w8"] = int(sys.argv[5])
 print(json.dumps(row))
-' "$b" "$fused" "$blk" "$kv8" >> "$OUT" \
-      || echo "{\"batch\": $b, \"fused\": $fused, \"fused_block\": $blk, \"kv8\": $kv8, \"error\": \"row parse failed\"}" >> "$OUT"
+' "$b" "$fused" "$blk" "$kv8" "$w8" >> "$OUT" \
+      || echo "{\"batch\": $b, \"fused\": $fused, \"fused_block\": $blk, \"kv8\": $kv8, \"w8\": $w8, \"error\": \"row parse failed\"}" >> "$OUT"
   else
-    echo "{\"batch\": $b, \"fused\": $fused, \"fused_block\": $blk, \"kv8\": $kv8, \"error\": \"bench failed\"}" >> "$OUT"
+    echo "{\"batch\": $b, \"fused\": $fused, \"fused_block\": $blk, \"kv8\": $kv8, \"w8\": $w8, \"error\": \"bench failed\"}" >> "$OUT"
   fi
 }
 
@@ -66,14 +67,17 @@ for b in $BATCHES; do
 done
 summarize
 
-# kv8 extension (int8 cross-K/V, the decode step's dominant HBM read): only
-# spend chip time on it if a fused row won the base grid — kv8 rides on the
-# fused kernel, so it cannot win where fused itself loses. Token-agreement
-# and logit-maxdiff gates ride in each row (bench numerics probe).
+# int8 extensions (kv8: cross-K/V, the decode step's dominant HBM read;
+# w8: decoder weights, the next-largest stream): only spend chip time on
+# them if a fused row won the base grid — both ride on the fused kernel, so
+# they cannot win where fused itself loses. Token-agreement and
+# logit-maxdiff gates ride in each row (bench numerics probe).
 if [ -f PERF_BEST.json ] && \
    python -c 'import json,sys; sys.exit(0 if json.load(open("PERF_BEST.json")).get("fused")==1 else 1)'; then
   BB=$(python -c 'import json; print(json.load(open("PERF_BEST.json"))["batch"])')
   BLK=$(python -c 'import json; print(json.load(open("PERF_BEST.json"))["fused_block"])')
-  run_one "$BB" 1 "$BLK" 1
+  run_one "$BB" 1 "$BLK" 1 0    # kv8
+  run_one "$BB" 1 "$BLK" 0 1    # w8
+  run_one "$BB" 1 "$BLK" 1 1    # kv8 + w8
   summarize
 fi

@@ -31,6 +31,7 @@ from tal_asrd_tpu.ops.pallas_decode import (
     fused_layer_step,
     pack_decoder,
     quantize_mem_kv,
+    quantize_packed,
 )
 
 
@@ -41,10 +42,18 @@ class FusedASRDecoder:
     f32 scales (ops/pallas_decode.py quantize_mem_kv): the cross-K/V re-read
     is the decode step's dominant HBM traffic, so int8 halves the memory-bound
     floor vs bf16. Greedy-token agreement vs the flax path is the accept gate
-    (bench.py fused numerics probe)."""
+    (bench.py fused numerics probe).
+
+    w8=True additionally stores the decoder matmul weights int8 with
+    per-output-channel scales (quantize_packed) — the next-largest HBM stream
+    after kv8. Quantization runs once in init_decode_state and rides in the
+    decode state, so the beam/greedy loops never re-quantize per token; a
+    decode_step call whose state lacks the packed weights (the unaligned
+    machine builds its state by hand) falls back to the unquantized path."""
 
     def __init__(self, model: ASRModel, interpret: bool = False,
-                 block_b: Optional[int] = None, kv8: bool = False):
+                 block_b: Optional[int] = None, kv8: bool = False,
+                 w8: bool = False):
         assert not model.cfg.use_speaker_head, (
             "fused decode path covers the speaker-token mode; the speaker "
             "head adds a second decoder stack (use the flax path)"
@@ -55,6 +64,7 @@ class FusedASRDecoder:
         self.interpret = interpret
         self.block_b = block_b
         self.kv8 = kv8
+        self.w8 = w8
         self._pe = jnp.asarray(
             sinusoidal_positions(model.cfg.max_positions, model.cfg.d_decoder),
             model.dtype,
@@ -104,12 +114,21 @@ class FusedASRDecoder:
             }
             for _ in range(self.cfg.n_decoder_layers)
         )
-        return {
+        state = {
             "mem_kvs": mem_kvs,
             "caches": caches,
             "index": jnp.zeros((), jnp.int32),
             "mask": encoder_out["encoder_padding_mask"],
         }
+        if self.w8:
+            # Quantize ONCE here (outside the token loop) and carry the packed
+            # int8 weights in the state: beam.py reorders only caches/
+            # spk_caches, so these ride through the while_loop as invariant
+            # carries with no per-step requantize.
+            state["packed"] = tuple(
+                quantize_packed(w) for w in self._packed(variables)
+            )
+        return state
 
     def precompute_mem_kvs(self, variables, memory: jax.Array):
         """Per-layer cross K/V, flattened [B, S, H*dh]; int8+scales if kv8."""
@@ -130,7 +149,7 @@ class FusedASRDecoder:
         """[B, 1] token -> (logits [B, V], None, mean-layer cross-attn [B, S],
         new_state). Matches ASRModel.decode_step's contract."""
         idx = state["index"]
-        packed = self._packed(variables)
+        packed = state.get("packed") or self._packed(variables)
         x = self._embed(variables, y_tok[:, 0])                    # [B, D]
         x = x + jax.lax.dynamic_slice_in_dim(self._pe, idx, 1, axis=0)[0]
 

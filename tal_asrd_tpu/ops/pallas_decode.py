@@ -54,6 +54,9 @@ def _layer_step_kernel(
     membias_ref,                # [B, S] f32 additive mask (0 / -inf)
     sk_ref, sv_ref,             # [1, D] f32 per-channel cross-K/V dequant
                                 #   scales (all-ones for unquantized K/V)
+    sqkv_ref, sso_ref,          # [1, 3D], [1, D] f32 per-output-channel
+    scq_ref, sco_ref,           # [1, D], [1, D]    weight dequant scales
+    sf1_ref, sf2_ref,           # [1, F], [1, D]    (all-ones for bf16 weights)
     # outputs
     x_out_ref,                  # [B, D]
     attn_out_ref,               # [B, S] f32 mean-head cross weights
@@ -71,7 +74,13 @@ def _layer_step_kernel(
     scale = 1.0 / (dh ** 0.5)
 
     # ---- self-attention: fused QKV -------------------------------------
-    qkv = jnp.dot(x, wqkv_ref[:], preferred_element_type=f32) + bqkv_ref[0][None, :]
+    # Weight matmuls dequantize through per-output-channel scales: the scale
+    # folds exactly after the dot ((x @ W8)[:, j] * s_j == x @ (W8 * s)[:, j]),
+    # so int8 weight storage (quantize_packed, w8) halves the step's weight
+    # HBM read with only the int8 rounding as numeric deviation. For bf16
+    # weights every scale is 1.0 and the astype below is a no-op.
+    qkv = jnp.dot(x, wqkv_ref[:].astype(x.dtype), preferred_element_type=f32)
+    qkv = qkv * sqkv_ref[0][None, :] + bqkv_ref[0][None, :]
     q, k, v = qkv[:, :d], qkv[:, d:2 * d], qkv[:, 2 * d:]
 
     # in-place cache update at position idx
@@ -94,15 +103,17 @@ def _layer_step_kernel(
         p = p / jnp.sum(p, axis=-1, keepdims=True)
         sa = sa.at[:, sl].set(jnp.sum(p[:, :, None] * cv[:, :, sl], 1))
 
-    sa = jnp.dot(sa.astype(x.dtype), wso_ref[:], preferred_element_type=f32)
-    sa = sa + bso_ref[0][None, :]
+    sa = jnp.dot(sa.astype(x.dtype), wso_ref[:].astype(x.dtype),
+                 preferred_element_type=f32)
+    sa = sa * sso_ref[0][None, :] + bso_ref[0][None, :]
     rw = rw_ref[0, 0]
     rw_src = rw_ref[0, 1]
     x1 = x.astype(f32) + sa * rw                    # [B, D] f32
 
     # ---- cross-attention over the precomputed window K/V ----------------
-    qc = jnp.dot(x1.astype(x.dtype), wcq_ref[:], preferred_element_type=f32)
-    qc = qc + bcq_ref[0][None, :]
+    qc = jnp.dot(x1.astype(x.dtype), wcq_ref[:].astype(x.dtype),
+                 preferred_element_type=f32)
+    qc = qc * scq_ref[0][None, :] + bcq_ref[0][None, :]
     # Dequant (or identity): the cross-K/V re-read is the dominant HBM
     # traffic of the decode step (~190 MB/step at B=32 bench shapes, see
     # ARCHITECTURE.md roofline) — int8 storage halves it vs bf16. Scales are
@@ -125,15 +136,18 @@ def _layer_step_kernel(
         ca = ca.at[:, sl].set(jnp.sum(p[:, :, None] * memv[:, :, sl], 1))
 
     attn_out_ref[:] = attn_acc / h                  # mean over heads
-    ca = jnp.dot(ca.astype(x.dtype), wco_ref[:], preferred_element_type=f32)
-    ca = ca + bco_ref[0][None, :]
+    ca = jnp.dot(ca.astype(x.dtype), wco_ref[:].astype(x.dtype),
+                 preferred_element_type=f32)
+    ca = ca * sco_ref[0][None, :] + bco_ref[0][None, :]
     x2 = x1 + ca * rw_src
 
     # ---- feed-forward ----------------------------------------------------
-    ffh = jnp.dot(x2.astype(x.dtype), wf1_ref[:], preferred_element_type=f32)
-    ffh = jnp.maximum(ffh + bf1_ref[0][None, :], 0.0)
-    ff = jnp.dot(ffh.astype(x.dtype), wf2_ref[:], preferred_element_type=f32)
-    ff = ff + bf2_ref[0][None, :]
+    ffh = jnp.dot(x2.astype(x.dtype), wf1_ref[:].astype(x.dtype),
+                  preferred_element_type=f32)
+    ffh = jnp.maximum(ffh * sf1_ref[0][None, :] + bf1_ref[0][None, :], 0.0)
+    ff = jnp.dot(ffh.astype(x.dtype), wf2_ref[:].astype(x.dtype),
+                 preferred_element_type=f32)
+    ff = ff * sf2_ref[0][None, :] + bf2_ref[0][None, :]
     x3 = x2 + ff * rw
 
     x_out_ref[:] = x3.astype(x_out_ref.dtype)
@@ -167,10 +181,23 @@ def fused_layer_step(
     b, d = x.shape
     s = mem_k.shape[1]
     l_buf = cache_k.shape[1]
+    f_dim = weights["wf1"].shape[1]
     if mem_k_scale is None:
         mem_k_scale = jnp.ones((d,), jnp.float32)
     if mem_v_scale is None:
         mem_v_scale = jnp.ones((d,), jnp.float32)
+    # Per-output-channel weight dequant scales (quantize_packed, w8). All-ones
+    # when the packed weights are bf16/f32 — the kernel multiply is then a
+    # cheap identity on [B, out] activations.
+    ones = lambda n: jnp.ones((1, n), jnp.float32)
+    w_scales = [
+        weights.get("sqkv", ones(3 * d)).reshape(1, 3 * d),
+        weights.get("sso", ones(d)).reshape(1, d),
+        weights.get("scq", ones(d)).reshape(1, d),
+        weights.get("sco", ones(d)).reshape(1, d),
+        weights.get("sf1", ones(f_dim)).reshape(1, f_dim),
+        weights.get("sf2", ones(d)).reshape(1, d),
+    ]
     if block_b is None or block_b >= b:
         blk, grid = b, 1
     else:
@@ -207,6 +234,8 @@ def fused_layer_step(
             + [batched((blk, s, d)), batched((blk, s, d))]     # memk memv
             + [batched((blk, s))]                              # bias
             + [full((1, d)), full((1, d))]                     # sk sv
+            + [full((1, 3 * d)), full((1, d)), full((1, d)),   # weight scales
+               full((1, d)), full((1, f_dim)), full((1, d))]
         ),
         out_specs=[
             batched((blk, d)),
@@ -227,7 +256,7 @@ def fused_layer_step(
     # resolved once at the jaxpr level before lowering, so interpret-mode
     # parity covers the compiled path too).
     # inputs: 0:idx 1:x 2..13:weights 14:rw 15:ck 16:cv 17:memk 18:memv
-    #         19:bias 20:sk 21:sv
+    #         19:bias 20:sk 21:sv 22..27:weight scales
     x_out, attn, ck, cv = pl.pallas_call(
         functools.partial(_layer_step_kernel, n_head=n_head),
         grid_spec=grid_spec,
@@ -249,6 +278,7 @@ def fused_layer_step(
         mem_bias.astype(jnp.float32),
         jnp.asarray(mem_k_scale, jnp.float32).reshape(1, d),
         jnp.asarray(mem_v_scale, jnp.float32).reshape(1, d),
+        *w_scales,
     )
     return x_out, attn, ck, cv
 
@@ -276,6 +306,38 @@ def quantize_mem_kv(
     k8, sk = q(mem_k)
     v8, sv = q(mem_v)
     return k8, sk, v8, sv
+
+
+_W8_KEYS = (("wqkv", "sqkv"), ("wso", "sso"), ("wcq", "scq"),
+            ("wco", "sco"), ("wf1", "sf1"), ("wf2", "sf2"))
+
+
+def quantize_packed(packed: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+    """Per-output-channel symmetric int8 quantization of one packed layer's
+    matmul weights (w8). After kv8 halves the cross-K/V read, the decoder
+    weights are the next-largest HBM stream of the decode step (~30 MB/step
+    bf16 at 2x bench shapes); int8 storage halves it. Output-channel scales
+    fold exactly after each dot, so the only numeric deviation is the int8
+    rounding of the weight entries (~0.4% relative).
+
+    Biases and resweights pass through unchanged (they are f32 and tiny).
+    Run ONCE per decode (FusedASRDecoder.init_decode_state stores the result
+    in the decode state so the quantization never sits inside the token loop).
+    """
+
+    def q(w):
+        wf = w.astype(jnp.float32)
+        s = jnp.max(jnp.abs(wf), axis=0) / 127.0           # [out]
+        s = jnp.maximum(s, 1e-8)
+        w8 = jnp.clip(jnp.round(wf / s[None, :]), -127, 127).astype(jnp.int8)
+        return w8, s
+
+    out = dict(packed)
+    for wk, sk_ in _W8_KEYS:
+        w8, s = q(packed[wk])
+        out[wk] = w8
+        out[sk_] = s
+    return out
 
 
 def pack_layer(layer_params: Dict, dtype=jnp.bfloat16) -> Dict[str, jax.Array]:

@@ -140,16 +140,22 @@ def encode_bytes(cfg: ModelConfig, batch: int, t_samples: int) -> float:
     return total
 
 
-def _decoder_weight_bytes(cfg: ModelConfig, n_layers: int = 4) -> float:
+def _decoder_weight_bytes(cfg: ModelConfig, n_layers: int = 4,
+                          w8: bool = False) -> float:
     d = cfg.d_decoder
     per_layer = 3 * d * d + d * d + d * d + d * d + 2 * d * 4 * d  # qkv,out,xq,xout,ff
     logits = d * cfg.embed_size + cfg.embed_size * cfg.num_tokens
-    return (n_layers * per_layer + logits) * _B
+    # w8 (quantize_packed): the per-layer matmul weights are int8 (1 B) plus
+    # per-output-channel f32 scales; the embedding/logit weights stay bf16
+    # (they live outside the fused kernel).
+    layer_b = 1.0 if w8 else _B
+    scales = (n_layers * (3 * d + 5 * d + 4 * d) * 4.0) if w8 else 0.0
+    return n_layers * per_layer * layer_b + logits * _B + scales
 
 
 def decode_step_bytes(cfg: ModelConfig, batch: int, hist_len: int,
                       enc_len: int, n_layers: int = 4,
-                      kv8: bool = False) -> float:
+                      kv8: bool = False, w8: bool = False) -> float:
     """Minimum HBM traffic of ONE KV-cached decode step.
 
     Every step re-reads (a) ALL decoder weights — batch-amortized, and
@@ -161,14 +167,17 @@ def decode_step_bytes(cfg: ModelConfig, batch: int, hist_len: int,
 
     kv8: cross K/V stored int8 (+ per-channel f32 scales) by the fused
     kernel path (ops/pallas_decode.py quantize_mem_kv) — 1 byte/entry
-    instead of _B for the dominant term."""
+    instead of _B for the dominant term.
+    w8: decoder matmul weights stored int8 (quantize_packed) — halves the
+    next-largest stream after kv8."""
     d = cfg.d_decoder
     cross_b = 1 if kv8 else _B
     kv = batch * n_layers * 2 * (hist_len * _B + enc_len * cross_b) * d
     scales = (n_layers * 2 * d * 4) if kv8 else 0.0             # f32 scales
     new_kv = batch * n_layers * 2 * d * _B                      # K+V writes
     acts = batch * (cfg.embed_size + d + cfg.num_tokens) * _B   # in/out
-    return _decoder_weight_bytes(cfg, n_layers) + kv + scales + new_kv + acts
+    return (_decoder_weight_bytes(cfg, n_layers, w8=w8) + kv + scales
+            + new_kv + acts)
 
 
 def prefill_bytes(cfg: ModelConfig, batch: int, enc_len: int,
@@ -184,7 +193,7 @@ def greedy_decode_roofline(cfg: ModelConfig, batch: int, t_samples: int,
                            max_new: int, beam: int = 1,
                            peak: float = PEAK_BF16_V5E,
                            bw: float = HBM_BW_V5E,
-                           kv8: bool = False) -> dict:
+                           kv8: bool = False, w8: bool = False) -> dict:
     """Speed-of-light analysis of the bench headline graph.
 
     Returns total analytic flops/bytes, the per-stage and total
@@ -202,7 +211,7 @@ def greedy_decode_roofline(cfg: ModelConfig, batch: int, t_samples: int,
     flops, bytes_ = f_enc + f_pre, b_enc + b_pre
     for i in range(max_new):
         f = decode_step_flops(cfg, lanes, i + 1, enc_len)
-        b = decode_step_bytes(cfg, lanes, i + 1, enc_len, kv8=kv8)
+        b = decode_step_bytes(cfg, lanes, i + 1, enc_len, kv8=kv8, w8=w8)
         sol += max(f / peak, b / bw)  # steps serialize: per-step roofline
         flops += f
         bytes_ += b

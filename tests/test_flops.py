@@ -144,3 +144,22 @@ def test_roofline_kv8_tightens_decode_bound():
     assert q["bytes"] < base["bytes"]
     assert q["sol_secs"] < base["sol_secs"]
     assert q["achievable_mfu_pct"] > base["achievable_mfu_pct"]
+
+
+def test_roofline_w8_tightens_decode_bound_further():
+    """int8 decoder weights halve the next-largest decode stream after kv8:
+    kv8+w8 must be strictly tighter than kv8 alone, and w8 alone tighter
+    than the bf16 base (same FLOPs, fewer bytes)."""
+    from tal_asrd_tpu.core.config import ModelConfig
+    from tal_asrd_tpu.utils.flops import greedy_decode_roofline
+
+    cfg = ModelConfig(model_type="2x", num_speakers=64, vocab_size=10000)
+    t = int(28.56 * 16000)
+    base = greedy_decode_roofline(cfg, 32, t, 96)
+    w = greedy_decode_roofline(cfg, 32, t, 96, w8=True)
+    both = greedy_decode_roofline(cfg, 32, t, 96, kv8=True, w8=True)
+    kv = greedy_decode_roofline(cfg, 32, t, 96, kv8=True)
+    assert w["flops"] == base["flops"] == both["flops"]
+    assert base["bytes"] > w["bytes"] > both["bytes"]
+    assert kv["bytes"] > both["bytes"]
+    assert both["achievable_mfu_pct"] > kv["achievable_mfu_pct"]

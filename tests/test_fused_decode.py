@@ -195,3 +195,41 @@ def test_fused_prefill_kv8(built):
     np.testing.assert_allclose(np.asarray(logits, np.float32),
                                np.asarray(lo_e, np.float32),
                                rtol=0.08, atol=0.08)
+
+
+@pytest.mark.slow
+def test_fused_decode_step_w8_token_agreement(built):
+    """w8 (int8 decoder weights, quantize_packed) deviates only by the weight
+    rounding: greedy tokens must agree with the flax path and logits stay
+    within a loose band. The quantized weights must ride in the state (set by
+    init_decode_state) so the token loop never requantizes."""
+    model, variables, enc = built
+    fused = FusedASRDecoder(model, interpret=True, kv8=True, w8=True)
+
+    max_len = 8
+    st_ref = model.apply(variables, enc, 2, max_len,
+                         method=ASRModel.init_decode_state)
+    st_f = fused.apply(variables, enc, 2, max_len,
+                       method=FusedASRDecoder.init_decode_state)
+    # int8 weight storage actually happened, and it rides in the state
+    assert "packed" in st_f
+    assert st_f["packed"][0]["wqkv"].dtype == jnp.int8
+    assert st_f["packed"][0]["sqkv"].ndim == 1
+
+    toks = jnp.array([[1], [2]], jnp.int32)
+    for step in range(4):
+        lo_r, _, _, st_ref = model.apply(
+            variables, toks, st_ref, method=ASRModel.decode_step
+        )
+        lo_f, _, _, st_f = fused.apply(
+            variables, toks, st_f, method=FusedASRDecoder.decode_step
+        )
+        assert "packed" in st_f  # carried through the step
+        np.testing.assert_allclose(
+            np.asarray(lo_f, np.float32), np.asarray(lo_r, np.float32),
+            rtol=0.1, atol=0.1, err_msg=f"w8 logits step {step}",
+        )
+        assert bool(jnp.all(jnp.argmax(lo_f, -1) == jnp.argmax(lo_r, -1))), (
+            f"greedy token divergence at step {step}"
+        )
+        toks = jnp.argmax(lo_r, -1)[:, None].astype(jnp.int32)

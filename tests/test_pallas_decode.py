@@ -131,3 +131,37 @@ def test_fused_layer_step_kv8_close_to_exact(layer):
                                rtol=0.05, atol=0.05)
     np.testing.assert_allclose(np.asarray(attn_q), np.asarray(attn_e),
                                rtol=0.1, atol=0.02)
+
+
+def test_fused_layer_step_w8_close_to_exact(layer):
+    """int8 weights + per-output-channel scales (quantize_packed): the only
+    deviation from the exact kernel is the int8 rounding of weight entries,
+    so outputs must sit within a small band of the unquantized run."""
+    from tal_asrd_tpu.ops.pallas_decode import quantize_packed
+
+    ly, params, mem = layer
+    variables = {"params": params}
+    mem_kv = ly.apply(variables, mem, method=RZDecoderLayer.precompute_mem_kv)
+    bias = jnp.zeros((B, S), jnp.float32)
+    w = pack_layer(params, dtype=jnp.float32)
+    w8 = quantize_packed(w)
+    assert w8["wqkv"].dtype == jnp.int8 and w8["sqkv"].shape == (3 * D,)
+    assert w8["wf1"].dtype == jnp.int8 and w8["sf1"].shape == (F,)
+    # dequantized reconstruction is ~0.8% relative on the weight entries
+    rec = np.asarray(w8["wqkv"], np.float32) * np.asarray(w8["sqkv"])[None, :]
+    scale = np.abs(np.asarray(w["wqkv"])).max()
+    np.testing.assert_allclose(rec, np.asarray(w["wqkv"]), atol=scale / 120.0)
+
+    mk = mem_kv["k"].reshape(B, S, D)
+    mv = mem_kv["v"].reshape(B, S, D)
+    x = jax.random.normal(jax.random.PRNGKey(9), (B, D)) * 0.5
+    idx = jnp.asarray(0, jnp.int32)
+    caches = lambda: (jnp.zeros((B, L, D)), jnp.zeros((B, L, D)))
+    out_e, attn_e, _, _ = fused_layer_step(
+        x, w, *caches(), mk, mv, bias, idx, n_head=H, interpret=True)
+    out_q, attn_q, _, _ = fused_layer_step(
+        x, w8, *caches(), mk, mv, bias, idx, n_head=H, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_q), np.asarray(out_e),
+                               rtol=0.05, atol=0.05)
+    np.testing.assert_allclose(np.asarray(attn_q), np.asarray(attn_e),
+                               rtol=0.1, atol=0.02)
