@@ -29,6 +29,10 @@ def get_argparser(is_train: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--fused-decode", action="store_true", default=False,
                    help="per-token decode via the fused Pallas layer-step "
                         "kernel (speaker-token models)")
+    p.add_argument("--bf16-params", action="store_true", default=False,
+                   help="cast loaded params to bf16 once before decoding "
+                        "(halves per-step weight HBM reads; eval numerics "
+                        "shift by the bf16 rounding of the weights)")
     p.add_argument("--num-workers", type=int, default=4)
     p.add_argument("--grad-acc", type=int, default=1)
     p.add_argument("--lr", type=float, default=1e-4)

@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from tal_asrd_tpu.cli.args import build_configs, get_argparser
@@ -57,6 +58,14 @@ def main(argv=None):
         state.params, load_pytree(args.load), strict=not args.no_strict
     )
     variables = {"params": params}
+    if getattr(args, "bf16_params", False):
+        # Inference-width weights (see bench.py BENCH_BF16_PARAMS): halves
+        # the per-step weight HBM read of the decode loops. Off by default —
+        # published accuracy numbers keep the f32 master weights.
+        variables = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+            variables)
 
     # Optional shallow-fusion LM (test.py:47-55: DecoderLMModel vocab=10000,
     # hidden 512, 4 heads, 6 layers, max_len 512).
