@@ -233,3 +233,27 @@ def test_fused_decode_step_w8_token_agreement(built):
             f"greedy token divergence at step {step}"
         )
         toks = jnp.argmax(lo_r, -1)[:, None].astype(jnp.int32)
+
+
+@pytest.mark.slow
+def test_beam_search_with_w8_fused_model(built):
+    """beam_search drives FusedASRDecoder(w8): the quantized 'packed' entry
+    must survive the search's state plumbing (beam.py reorders only caches/
+    spk_caches; everything else is an invariant carry) and produce the same
+    tokens as the unquantized fused path at tiny scale."""
+    from tal_asrd_tpu.decode import BeamSearchSpec, beam_search
+
+    model, variables, enc = built
+    spec = BeamSearchSpec(
+        beam_size=2, max_new_tokens=5, eos_id=1,
+        vocab_size=model.cfg.num_tokens,
+        text_vocab_size=model.cfg.vocab_size, force_output=True,
+    )
+    y0 = jnp.ones((2, 1), jnp.int32)
+    out_e = beam_search(FusedASRDecoder(model, interpret=True),
+                       variables, enc, y0, spec)
+    out_q = beam_search(FusedASRDecoder(model, interpret=True, kv8=True,
+                                        w8=True),
+                       variables, enc, y0, spec)
+    np.testing.assert_array_equal(np.asarray(out_e["tokens"]),
+                                  np.asarray(out_q["tokens"]))
