@@ -74,6 +74,14 @@ def main():
         lens = jnp.full((batch,), t, jnp.int32)
         variables = model.init({"params": rng}, audio,
                                jnp.zeros((batch, 4), jnp.int32), lens)
+        # Inference-width params, matching bench.py BENCH_BF16_PARAMS: the
+        # decode while_loop otherwise carries the weights at f32 width and
+        # every step re-reads them at 2x the roofline's assumed bf16 bytes.
+        if os.environ.get("BENCH_BF16_PARAMS", "1") == "1":
+            variables = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+                variables)
         spec = BeamSearchSpec(
             beam_size=args.beam, max_new_tokens=args.steps, eos_id=-1,
             vocab_size=cfg.num_tokens, text_vocab_size=cfg.vocab_size,
