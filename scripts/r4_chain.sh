@@ -70,6 +70,39 @@ train_phase() {  # name load_ckpt max_secs max_steps lr extra...
   done
 }
 
+valsplit() {  # phase_name ckpt — cheap post-phase accuracy evidence
+  # Per-distribution teacher-forced CE (scripts/val_split.py) right after a
+  # phase finishes, published to the TRACKED VALSPLIT_r4.json immediately:
+  # the eval legs behind it take 1-2 h and the deadline guard can cut them,
+  # but a 2-5 min CE probe always lands. Bridge success = segment CE well
+  # below the ~4.0 LM-prior basin without aligned CE regressing.
+  local phase=$1 ckpt=$2 out="accuracy/valsplit_$1.json"
+  [ -n "$ckpt" ] || return 0
+  if [ ! -f "$out" ] || [ "$ckpt" -nt "$out" ]; then
+    timeout 900 python scripts/val_split.py "$ckpt" --max-secs 28.5 \
+      --batches 8 > "$out" || { rm -f "$out"; return 0; }
+  fi
+  python - <<'PY'
+import glob, json, subprocess
+res = {}
+for f in sorted(glob.glob("accuracy/valsplit_*.json")):
+    name = f.split("valsplit_")[1][:-5]
+    try:
+        res[name] = json.load(open(f))
+    except Exception:
+        continue
+res["commit"] = subprocess.run(
+    ["git", "rev-parse", "--short", "HEAD"],
+    capture_output=True, text=True).stdout.strip()
+json.dump(res, open("VALSPLIT_r4.json", "w"), indent=1)
+PY
+  git add VALSPLIT_r4.json 2>/dev/null
+  git diff --cached --quiet || git commit \
+    -m "Real-scale per-distribution CE after phase $phase" \
+    -m "No-Verification-Needed: unattended artifact capture by scripts/r4_chain.sh" \
+    || echo "valsplit commit failed (index lock?); artifact remains on disk"
+}
+
 set -x
 # Chain-version guard: the r3 direct-28.5s acc1x ckpts (and its 14s p2a
 # experiment) live in the LM-prior basin — warm-starting from them would
@@ -90,10 +123,12 @@ P1C=$(ls -t accuracy/ckpts/acc1x-p1c/ckpt_*.msgpack | head -1)
 # Bridge: exact-aligned multi-utterance windows (EOS-continuation skill)
 train_phase acc1x-p2m "$P1C" 28.5 3000 1e-4 --num-utterances 4 || exit 1
 P2M=$(ls -t accuracy/ckpts/acc1x-p2m/ckpt_*.msgpack 2>/dev/null | head -1 || true)
+valsplit p2m "$P2M"
 # A force-published .done (deadline_guard) can mark p2m done with zero ckpts
 # (tunnel never came up); fall back to p1c rather than --load "" crashing.
 [ -n "$P2M" ] || P2M=$P1C
 # Long shiftaug windows, multi-utterance aligned items kept in the mix
 train_phase acc1x "$P2M" 28.5 5000 1e-4 --shiftaug --num-utterances 4 || exit 1
+valsplit acc1x "$(ls -t accuracy/ckpts/acc1x/ckpt_*.msgpack 2>/dev/null | head -1 || true)"
 
 bash scripts/accuracy.sh && bash scripts/embed_chain.sh && python scripts/merge_metrics.py accuracy
