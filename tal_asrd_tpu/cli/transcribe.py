@@ -38,6 +38,9 @@ def get_parser():
     p.add_argument("--no-splice", action="store_true", default=False)
     p.add_argument("--use-eos", action="store_true", default=False,
                    help="terminate on EOS instead of EOT")
+    p.add_argument("--bf16-params", action="store_true", default=False,
+                   help="cast loaded params to bf16 once before decoding "
+                        "(halves per-step weight HBM reads)")
     return p
 
 
@@ -60,6 +63,12 @@ def main(argv=None):
     params = load_params_partial(init_vars["params"], load_pytree(args.load),
                                  strict=False)
     variables = {"params": params}
+    if args.bf16_params:
+        # Inference-width weights (see bench.py BENCH_BF16_PARAMS).
+        variables = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+            variables)
 
     tc = TranscribeConfig(
         window_seconds=args.window_secs,
