@@ -121,9 +121,30 @@ train_phase acc1x-p1c "$P1B" 10 6000 2e-4 || exit 1
 P1C=$(ls -t accuracy/ckpts/acc1x-p1c/ckpt_*.msgpack | head -1)
 
 # Bridge: exact-aligned multi-utterance windows (EOS-continuation skill)
-train_phase acc1x-p2m "$P1C" 28.5 3000 1e-4 --num-utterances 4 || exit 1
+# LR is retry-marker-aware so a crash-relaunch RESUMES the retried phase at
+# the retry's LR instead of silently dropping back to 1e-4.
+P2M_LR=1e-4
+[ -f accuracy/ckpts/.p2m_retry_done ] && P2M_LR=3e-4
+train_phase acc1x-p2m "$P1C" 28.5 3000 "$P2M_LR" --num-utterances 4 || exit 1
 P2M=$(ls -t accuracy/ckpts/acc1x-p2m/ckpt_*.msgpack 2>/dev/null | head -1 || true)
 valsplit p2m "$P2M"
+
+# Decision-tree branch 1 (ROADMAP "If p2m plateaus"), automated: if p2m's
+# segment CE is still in the LM-prior basin (~4.0; threshold 3.5 — a working
+# bridge measures ~2 or below), restart the phase ONCE from p1c at LR 3e-4
+# with fresh optimizer state (the p1b->p1c trick that worked in r3). The
+# basin run's ckpts and CE stay on disk as the diagnosis evidence. Skipped
+# when the deadline guard has force-published (acc1x/.done pre-exists:
+# time is up, eval whatever we have) and after one retry (.p2m_retry_done).
+if python scripts/chain_decisions.py p2m-retry accuracy; then
+  echo "p2m stuck in the LM-prior basin; one retry from p1c at LR 3e-4"
+  touch accuracy/ckpts/.p2m_retry_done
+  mv accuracy/ckpts/acc1x-p2m accuracy/ckpts/p2m-lr1e4-basin
+  mv accuracy/valsplit_p2m.json accuracy/valsplit_p2m_lr1e4.json
+  train_phase acc1x-p2m "$P1C" 28.5 3000 3e-4 --num-utterances 4 || exit 1
+  P2M=$(ls -t accuracy/ckpts/acc1x-p2m/ckpt_*.msgpack 2>/dev/null | head -1 || true)
+  valsplit p2m "$P2M"
+fi
 # A force-published .done (deadline_guard) can mark p2m done with zero ckpts
 # (tunnel never came up); fall back to p1c rather than --load "" crashing.
 [ -n "$P2M" ] || P2M=$P1C

@@ -276,3 +276,54 @@ class TestDeadlineGuardForcePublish:
         with open(os.path.join(root, "scripts", "r4_chain.sh")) as f:
             src = f.read()
         assert '[ -n "$P2M" ] || P2M=$P1C' in src
+
+
+class TestP2mRetryDecision:
+    """Decision-tree branch 1 automation (scripts/chain_decisions.py):
+    the chain retries the bridge phase at LR 3e-4 ONLY when the CE probe
+    shows the LM-prior basin, at most once, and never after the deadline
+    guard has force-published."""
+
+    def _run(self, acc):
+        import subprocess
+
+        root = os.path.join(os.path.dirname(__file__), "..")
+        return subprocess.run(
+            ["python", "scripts/chain_decisions.py", "p2m-retry", str(acc)],
+            cwd=root, capture_output=True, text=True).returncode
+
+    def _probe(self, acc, seg):
+        import json
+
+        (acc / "ckpts").mkdir(parents=True, exist_ok=True)
+        (acc / "valsplit_p2m.json").write_text(
+            json.dumps({"val_segment": seg, "val_aligned": 1.0}))
+
+    def test_basin_triggers_retry(self, tmp_path):
+        self._probe(tmp_path, 4.1)
+        assert self._run(tmp_path) == 0
+
+    def test_learned_bridge_skips(self, tmp_path):
+        self._probe(tmp_path, 1.9)
+        assert self._run(tmp_path) == 1
+
+    def test_no_probe_skips(self, tmp_path):
+        (tmp_path / "ckpts").mkdir(parents=True)
+        assert self._run(tmp_path) == 1
+
+    def test_retry_is_once(self, tmp_path):
+        self._probe(tmp_path, 4.1)
+        (tmp_path / "ckpts" / ".p2m_retry_done").write_text("")
+        assert self._run(tmp_path) == 1
+
+    def test_force_publish_blocks_retry(self, tmp_path):
+        self._probe(tmp_path, 4.1)
+        (tmp_path / "ckpts" / "acc1x").mkdir(parents=True)
+        (tmp_path / "ckpts" / "acc1x" / ".done").write_text("")
+        assert self._run(tmp_path) == 1
+
+    def test_chain_calls_the_decision(self):
+        root = os.path.join(os.path.dirname(__file__), "..")
+        src = open(os.path.join(root, "scripts", "r4_chain.sh")).read()
+        assert "chain_decisions.py p2m-retry" in src
+        assert "3e-4" in src  # the retry LR
