@@ -11,7 +11,11 @@ set -uo pipefail
 cd "$(dirname "$0")/.."
 
 BATCHES=${SWEEP_BATCHES:-"32 64 128 256"}
-OUT=PERF_SWEEP.jsonl
+# Artifact paths are overridable so CPU smokes (tiny arch, interpret-mode
+# kernels) can exercise the WHOLE script without clobbering the real chip
+# artifacts the watchdog's perf_first gates on.
+OUT=${SWEEP_OUT:-PERF_SWEEP.jsonl}
+BEST=${SWEEP_BEST:-PERF_BEST.json}
 : > "$OUT"
 
 # Fused rows also grid the per-kernel batch block (VMEM residency knob): the
@@ -46,16 +50,16 @@ print(json.dumps(row))
 }
 
 summarize() {
-  python - <<'PY'
-import json
-rows = [json.loads(l) for l in open("PERF_SWEEP.jsonl")]
-# a fused/kv8 row may only win if its on-silicon numerics gate passed
+  SWEEP_OUT="$OUT" SWEEP_BEST="$BEST" python - <<'PY'
+import json, os
+rows = [json.loads(l) for l in open(os.environ["SWEEP_OUT"])]
+# a fused/kv8/w8 row may only win if its on-silicon numerics gate passed
 ok = [r for r in rows
       if "value" in r and r.get("fused_greedy_token_match", True)]
 best = max(ok, key=lambda r: r["value"]) if ok else None
 print(json.dumps({"n_configs": len(rows), "best": best}, indent=1))
 if best:
-    json.dump(best, open("PERF_BEST.json", "w"))
+    json.dump(best, open(os.environ["SWEEP_BEST"], "w"))
 PY
 }
 
@@ -72,10 +76,10 @@ summarize
 # them if a fused row won the base grid — both ride on the fused kernel, so
 # they cannot win where fused itself loses. Token-agreement and
 # logit-maxdiff gates ride in each row (bench numerics probe).
-if [ -f PERF_BEST.json ] && \
-   python -c 'import json,sys; sys.exit(0 if json.load(open("PERF_BEST.json")).get("fused")==1 else 1)'; then
-  BB=$(python -c 'import json; print(json.load(open("PERF_BEST.json"))["batch"])')
-  BLK=$(python -c 'import json; print(json.load(open("PERF_BEST.json"))["fused_block"])')
+if [ -f "$BEST" ] && \
+   python -c 'import json,sys; sys.exit(0 if json.load(open(sys.argv[1])).get("fused")==1 else 1)' "$BEST"; then
+  BB=$(python -c 'import json,sys; print(json.load(open(sys.argv[1]))["batch"])' "$BEST")
+  BLK=$(python -c 'import json,sys; print(json.load(open(sys.argv[1]))["fused_block"])' "$BEST")
   run_one "$BB" 1 "$BLK" 1 0    # kv8
   run_one "$BB" 1 "$BLK" 0 1    # w8
   run_one "$BB" 1 "$BLK" 1 1    # kv8 + w8
