@@ -292,9 +292,11 @@ def main():
         )
 
         # The unaligned machine is vmapped over lanes; pallas_call under
-        # vmap is an untested composition here, so the fused kernel needs
-        # its own opt-in — a headline BENCH_FUSED=1 default must not be able
-        # to take down the whole bench artifact via this leg.
+        # vmap is interpret-parity-tested (tests/test_unaligned_batched.py
+        # ::test_batched_with_fused_model_matches_flax) but Mosaic-under-vmap
+        # on real silicon is not, so the fused kernel keeps its own opt-in —
+        # a headline BENCH_FUSED=1 default must not be able to take down the
+        # whole bench artifact via this leg.
         un_fused = os.environ.get("BENCH_FUSED_UNALIGNED", "0") == "1"
         un_model = FusedASRDecoder(model) if (use_fused and un_fused) else model
 

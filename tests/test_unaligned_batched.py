@@ -78,3 +78,42 @@ def test_batched_matches_single():
             np.asarray(batched["align_chunk"][i, : n_b - 1]),
             np.asarray(single["align_chunk"][: n_s - 1]),
         )
+
+
+@pytest.mark.slow
+def test_batched_with_fused_model_matches_flax():
+    """pallas_call under vmap (interpret mode): the lane-batched unaligned
+    machine driven by FusedASRDecoder must produce the same per-lane token
+    streams as the flax path — the semantic half of the BENCH_FUSED_UNALIGNED
+    gate (Mosaic-under-vmap on real silicon remains sweep-gated)."""
+    from tal_asrd_tpu.decode.fused_step import FusedASRDecoder
+
+    model = ASRModel(TINY, FE)
+    a1 = jax.random.normal(jax.random.PRNGKey(3), (32000,)) * 0.1
+    a2 = jax.random.normal(jax.random.PRNGKey(4), (32000,)) * 0.1
+    audio = jnp.stack([a1, a2])
+    lens = jnp.array([32000, 32000])
+    variables = model.init(
+        {"params": jax.random.PRNGKey(5)}, audio[:1],
+        jnp.zeros((1, 4), jnp.int32), lens[:1],
+    )
+    variables = jax.tree_util.tree_map(
+        lambda x: x + 0.3 if x.ndim == 0 else x, variables
+    )
+    enc = model.apply(variables, audio, lens, False, method=ASRModel.encode)
+    enc_lens = (~enc["encoder_padding_mask"]).sum(axis=1)
+    spec = UnalignedSpec(
+        eos_id=EOS, chunk_size=48, max_positions=TINY.max_positions,
+        stall_patience=6, max_tokens=64, max_iters=200, max_outer=32,
+    )
+    enc_in = {"encoder_out": enc["encoder_out"], "encoder_padding_mask": None}
+    out_r = unaligned_decode_batched(model, variables, enc_in, enc_lens, spec)
+    fused = FusedASRDecoder(model, interpret=True)
+    out_f = unaligned_decode_batched(fused, variables, enc_in, enc_lens, spec)
+    for i in range(2):
+        n_r = int(out_r["num_tokens"][i])
+        n_f = int(out_f["num_tokens"][i])
+        assert n_r == n_f, (i, n_r, n_f)
+        np.testing.assert_array_equal(
+            np.asarray(out_r["tokens"][i, :n_r]),
+            np.asarray(out_f["tokens"][i, :n_f]))
