@@ -1,7 +1,7 @@
 # Build / test / bench entry points.
 
-NATIVE_SRCS := native/editdist.cpp native/fastbpe.cpp
-NATIVE_LIBS := native/build/libeditdist.so native/build/libfastbpe.so
+NATIVE_LIBS := native/build/libeditdist.so native/build/libfastbpe.so \
+               native/build/libbpetrain.so native/build/libwebrtcvad.so
 
 .PHONY: all native test test-fast test-smoke smoke-chain bench accuracy clean
 
@@ -10,6 +10,12 @@ all: native
 native: $(NATIVE_LIBS)
 
 native/build/lib%.so: native/%.cpp
+	@mkdir -p native/build
+	g++ -O3 -shared -fPIC -o $@ $<
+
+# source file is webrtc_vad.cpp but the runtime loads libwebrtcvad.so
+# (vad/webrtc_gmm.py) — explicit rule bridges the name difference
+native/build/libwebrtcvad.so: native/webrtc_vad.cpp
 	@mkdir -p native/build
 	g++ -O3 -shared -fPIC -o $@ $<
 
