@@ -63,11 +63,23 @@ if best:
 PY
 }
 
+# Fail-fast on a fused-kernel compile failure: if EVERY fused row of the
+# first batch errors, later batches will too (Mosaic compile failures are
+# shape-family-wide, and per-block VMEM depends on the block size, not the
+# batch count) — skip them instead of burning a 900 s timeout per row.
+fused_ok=0
+first_batch=1
 for b in $BATCHES; do
   run_one "$b" 0 8 0
-  for blk in $FUSED_BLOCKS; do
-    run_one "$b" 1 "$blk" 0
-  done
+  if [ "$fused_ok" = 1 ] || [ "$first_batch" = 1 ]; then
+    for blk in $FUSED_BLOCKS; do
+      run_one "$b" 1 "$blk" 0
+      tail -1 "$OUT" | grep -q '"error"' || fused_ok=1
+    done
+    [ "$first_batch" = 1 ] && [ "$fused_ok" = 0 ] \
+      && echo "--- every fused row failed at batch $b; skipping fused rows for later batches" >&2
+  fi
+  first_batch=0
 done
 summarize
 
