@@ -184,6 +184,16 @@ def main():
         # perf_sweep rows carry their own correctness evidence. Runs BEFORE
         # the headline so a kernel compile failure surfaces with a clear
         # traceback instead of mid-timing.
+        #
+        # The probe weights MUST NOT be the raw init: ReZero residual scalars
+        # initialize to 0, which multiplies every decoder branch (self-attn,
+        # cross-attn, FF) by zero — the probe would compare x to x and pass
+        # for a kernel that miscompiles all three. Bumping the scalars to 0.3
+        # (both paths, so the comparison stays fair) makes every branch
+        # contribute to the compared logits.
+        probe_vars = jax.tree_util.tree_map(
+            lambda a: a + 0.3 if a.ndim == 0 else a, variables)
+
         @jax.jit
         def _enc_probe(v, a, l):
             return model.apply(v, a, l, False, method=ASRModel.encode)
@@ -197,16 +207,16 @@ def main():
             return dec_model.apply(v, tk, s,
                                    method=FusedASRDecoder.decode_step)
 
-        enc_p = _enc_probe(variables, audio, audio_lens)
-        st_r = model.apply(variables, enc_p, batch, 8,
+        enc_p = _enc_probe(probe_vars, audio, audio_lens)
+        st_r = model.apply(probe_vars, enc_p, batch, 8,
                            method=ASRModel.init_decode_state)
-        st_f = dec_model.apply(variables, enc_p, batch, 8,
+        st_f = dec_model.apply(probe_vars, enc_p, batch, 8,
                                method=FusedASRDecoder.init_decode_state)
         toks = jnp.ones((batch, 1), jnp.int32)
         maxdiff, match = 0.0, True
         for _ in range(3):
-            lo_r, _, _, st_r = _step_flax(variables, toks, st_r)
-            lo_f, _, _, st_f = _step_fused(variables, toks, st_f)
+            lo_r, _, _, st_r = _step_flax(probe_vars, toks, st_r)
+            lo_f, _, _, st_f = _step_fused(probe_vars, toks, st_f)
             maxdiff = max(maxdiff, float(jnp.max(jnp.abs(
                 lo_f.astype(jnp.float32) - lo_r.astype(jnp.float32)))))
             nxt_r = jnp.argmax(lo_r, -1)[:, None].astype(jnp.int32)
