@@ -56,3 +56,36 @@ def test_bench_cpu_smoke_contract():
     assert row["unaligned_tokens"] > 0
     # roofline fields (VERDICT r3 #4) always present
     assert "achievable_mfu_pct" in row and "pct_of_achievable" in row
+
+
+@pytest.mark.slow
+def test_bench_fused_probe_has_discriminating_power():
+    """The fused numerics gate must probe with NONZERO ReZero scalars: on raw
+    init (resweights = 0) every decoder branch is multiplied away and a
+    miscompiled kernel passes with maxdiff 0.0. Pin maxdiff > 0 so the gate
+    keeps its teeth (kv8+w8 perturb the compared logits measurably)."""
+    env = {
+        **os.environ,
+        "BENCH_PLATFORM": "cpu",
+        "TAL_TINY_ARCH": "1",
+        "BENCH_BATCH": "2",
+        "BENCH_STEPS": "2",
+        "BENCH_ITERS": "1",
+        "BENCH_SKIP_EXTRAS": "1",
+        "BENCH_FUSED": "1",
+        "BENCH_FUSED_INTERPRET": "1",
+        "BENCH_FUSED_BLOCK": "2",
+        "BENCH_FUSED_KV8": "1",
+        "BENCH_FUSED_W8": "1",
+        "BENCH_DEADLINE_S": "1700",
+        "ACC_DIR": "/nonexistent",
+        "ACC_METRICS": "/nonexistent/metrics.json",
+    }
+    r = subprocess.run([sys.executable, "bench.py"], cwd=ROOT, env=env,
+                       capture_output=True, text=True, timeout=1800)
+    assert r.returncode == 0, r.stderr[-3000:]
+    row = json.loads(r.stdout.strip().splitlines()[-1])
+    assert row["fused_kv8"] is True and row["fused_w8"] is True
+    assert row["fused_greedy_token_match"] is True
+    assert row["fused_logit_maxdiff"] > 0, (
+        "probe compared x to x — ReZero scalars are zero again?")
