@@ -84,7 +84,9 @@ force_publish() {  # $1 = "kill" to also kill the in-flight train child
     touch "$ACC/ckpts/.r4_chain_v2"
   fi
   local newest="" ph
-  for ph in acc1x acc1x-p2m acc1x-p1c; do
+  # p1b/p1 included since the r4 reboot-bootstrap: after the wipe the chain
+  # retrains from scratch, so the furthest phase may be a short-task one.
+  for ph in acc1x acc1x-p2m acc1x-p1c acc1x-p1b acc1x-p1; do
     newest=$(ls -t "$ACC/ckpts/$ph"/ckpt_*.msgpack 2>/dev/null | head -1 || true)
     [ -n "$newest" ] && break
   done
@@ -94,7 +96,7 @@ force_publish() {  # $1 = "kill" to also kill the in-flight train child
     if ! ls "$ACC/ckpts/acc1x"/ckpt_*.msgpack >/dev/null 2>&1; then
       cp "$newest" "$ACC/ckpts/acc1x/ckpt_00000001.msgpack"
     fi
-    for ph in acc1x acc1x-p2m acc1x-p1c; do
+    for ph in acc1x acc1x-p2m acc1x-p1c acc1x-p1b acc1x-p1; do
       mkdir -p "$ACC/ckpts/$ph"; touch "$ACC/ckpts/$ph/.done"
     done
     [ "${1:-}" = kill ] && kill_train_child

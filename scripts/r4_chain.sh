@@ -114,6 +114,11 @@ PY
 }
 
 set -x
+# Self-bootstrap (2026-08-18 reboot wiped the gitignored accuracy/ tree):
+# regenerate corpus v2 + BPE if missing (lock-guarded, CPU-pinned, may
+# already be pre-warmed by a parallel session).
+bash scripts/ensure_corpus.sh || exit 1
+
 # Chain-version guard: the r3 direct-28.5s acc1x ckpts (and its 14s p2a
 # experiment) live in the LM-prior basin — warm-starting from them would
 # defeat the bridge. Move them aside once.
@@ -124,8 +129,18 @@ if [ ! -f $ACC/ckpts/.r4_chain_v2 ]; then
   touch $ACC/ckpts/.r4_chain_v2
 fi
 
-# p1c is complete from round 3 (val 0.61 on the short task); its phase_done
-# marker short-circuits the call. Source it from p1b's newest ckpt by mtime.
+# Short-task bootstrap phases (r3's measured recipe, accuracy.sh lines
+# 79-111: p1 at LR 4e-4 then a fresh 2e-4 cycle as p1b — linear decay kills
+# the LR while val is still falling, so the restart continues the descent).
+# phase_done short-circuits these when round-3 checkpoints survive; after
+# the reboot they start from scratch. Early stopping (patience 10) can end
+# either phase below the nominal step target — the .done marker covers that.
+train_phase acc1x-p1 "" 10 14000 4e-4 || exit 1
+P1=$(ls -t $ACC/ckpts/acc1x-p1/ckpt_*.msgpack | head -1)
+train_phase acc1x-p1b "$P1" 10 12000 2e-4 || exit 1
+
+# p1c: short-task adaptation continues (val 0.61 in r3). Source it from
+# p1b's newest ckpt by mtime.
 P1B=$(ls -t $ACC/ckpts/acc1x-p1b/ckpt_*.msgpack | head -1)
 train_phase acc1x-p1c "$P1B" 10 6000 2e-4 || exit 1
 P1C=$(ls -t $ACC/ckpts/acc1x-p1c/ckpt_*.msgpack | head -1)

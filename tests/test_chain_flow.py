@@ -63,6 +63,14 @@ exec "$REAL" "$@"
 
 def _sandbox(tmp_path, ce_values):
     acc = tmp_path / "acc"
+    # Corpus-ready markers: ensure_corpus.sh (the chain's reboot bootstrap)
+    # must short-circuit, not synthesize a real 100-episode corpus in the
+    # sandbox. The markers are exactly its corpus_ok() gate.
+    (acc / "train").mkdir(parents=True)
+    (acc / "train" / "transcript.pkl").write_text("fake")
+    (acc / "train" / ".corpus_v2").write_text("")
+    (acc / "bpe.model").write_text("fake")
+    (acc / ".corpus_ready").write_text("")
     (acc / "ckpts" / "acc1x-p1b").mkdir(parents=True)
     (acc / "ckpts" / "acc1x-p1b" / "ckpt_00012000.msgpack").write_text("p1b")
     # r3 leftovers the migration must move aside
@@ -97,6 +105,10 @@ def test_happy_path_bridge_learned(tmp_path):
     calls = (acc / "calls.log").read_text()
     # migration happened
     assert (acc / "ckpts" / "r3-basin-acc1x").is_dir()
+    # reboot bootstrap: p1 retrains from scratch (empty --load), p1b is
+    # short-circuited by its surviving checkpoint
+    assert "name=acc1x-p1 steps=14000 lr=4e-4 load=" in calls
+    assert "name=acc1x-p1b" not in calls
     # p1c trained (no .done existed), then p2m at 1e-4, then acc1x
     assert "name=acc1x-p1c" in calls
     assert "name=acc1x-p2m steps=3000 lr=1e-4" in calls
