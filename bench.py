@@ -128,7 +128,10 @@ def main():
     # TAL_TINY_ARCH: same debug shrink as cli/args.py:119 — makes the full
     # bench CPU-smokeable (tests/test_bench_smoke.py). Numbers are flagged.
     tiny = bool(os.environ.get("TAL_TINY_ARCH"))
+    # BENCH_CONV_IMPL: grouped-conv lowering A/B (ops/grouped_conv.py —
+    # "xla" | "packed" | "tap"; default "auto" = current per-backend choice)
     cfg = ModelConfig(model_type="2x", num_speakers=64, vocab_size=10000,
+                      conv_impl=os.environ.get("BENCH_CONV_IMPL", "auto"),
                       **(dict(tds_depths=(1, 1, 1), width_mult=0.1,
                               d_decoder_override=64) if tiny else {}))
     model = ASRModel(cfg, dtype=jnp.bfloat16)

@@ -71,6 +71,9 @@ class ModelConfig:
     tds_kernel: int = 21
     tds_dropout: float = 0.2   # reference passes model-level dropout to TDS
     remat: bool = False        # rematerialize encoder blocks in training
+    conv_impl: str = "auto"    # grouped-conv lowering (ops/grouped_conv.py);
+                               # "auto" resolves per backend, checkpoints are
+                               # interchangeable across impls
     # Encoder padding-mask scaling: 'buffer' (bucket-safe default) or
     # 'batch_max' (exact reference parity, models.py:177-187) — see
     # encoder_padding_mask and tests/test_deviations.py.

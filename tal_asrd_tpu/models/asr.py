@@ -85,6 +85,7 @@ class ASRModel(nn.Module):
             dropout=c.tds_dropout,
             dtype=self.dtype,
             remat=c.remat,
+            conv_impl=c.conv_impl,
         )
         self.decoder_proj = nn.Dense(d, dtype=self.dtype)
         self.enc_drop = nn.Dropout(c.dropout)

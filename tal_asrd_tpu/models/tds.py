@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from tal_asrd_tpu.ops.grouped_conv import GroupedConv1D
+
 
 class TDSBlock(nn.Module):
     """Grouped depthwise conv + pointwise feed-forward, both ReZero-gated.
@@ -35,18 +37,20 @@ class TDSBlock(nn.Module):
     groups: int
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    conv_impl: str = "auto"   # grouped-conv lowering (ops/grouped_conv.py)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         resweight = self.param("resweight", nn.initializers.zeros, (), jnp.float32)
         rw = resweight.astype(self.dtype)
 
-        h = nn.Conv(
+        h = GroupedConv1D(
             self.hidden,
-            (self.kernel,),
+            self.kernel,
+            self.groups,
             padding="SAME",
-            feature_group_count=self.groups,
             dtype=self.dtype,
+            impl=self.conv_impl,
             name="conv",
         )(x)
         h = nn.relu(h)
@@ -78,6 +82,7 @@ class TDS(nn.Module):
     dtype: jnp.dtype = jnp.float32
     extract_groups: int = 1              # groups in the `extract` stage
     remat: bool = False                  # rematerialize blocks (memory<->FLOPs)
+    conv_impl: str = "auto"              # grouped-conv lowering (ops/grouped_conv.py)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False, stage: str = "all") -> jax.Array:
@@ -100,13 +105,14 @@ class TDS(nn.Module):
             nn.remat(TDSBlock, static_argnums=(2,)) if self.remat else TDSBlock
         )
         for gi in groups:
-            x = nn.Conv(
+            x = GroupedConv1D(
                 self.sizes[gi + 1],
-                (self.kernel,),
-                strides=(2,),
+                self.kernel,
+                self.input_size,
+                stride=2,
                 padding="VALID",
-                feature_group_count=self.input_size,
                 dtype=self.dtype,
+                impl=self.conv_impl,
                 name=f"down_{gi}",
             )(x)
             for bi in range(self.depths[gi]):
@@ -116,6 +122,7 @@ class TDS(nn.Module):
                     groups=self.input_size,
                     dropout=self.dropout,
                     dtype=self.dtype,
+                    conv_impl=self.conv_impl,
                     name=f"group_{gi}_block_{bi}",
                 )(x, train)  # positional: remat static_argnums=(2,)
         return x
