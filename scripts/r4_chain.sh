@@ -140,9 +140,12 @@ P1=$(ls -t $ACC/ckpts/acc1x-p1/ckpt_*.msgpack | head -1)
 train_phase acc1x-p1b "$P1" 10 12000 2e-4 || exit 1
 
 # p1c: short-task adaptation continues (val 0.61 in r3). Source it from
-# p1b's newest ckpt by mtime.
+# p1b's newest ckpt by mtime. 12000 steps + patience 30: the 2026-08-18
+# from-scratch run reached only val 1.27 by p1's end and p1b early-stopped
+# at 1320/12000 (the fresh LR cycle transiently worsens val and the default
+# patience 10 bailed), so p1c carries the remaining short-task descent.
 P1B=$(ls -t $ACC/ckpts/acc1x-p1b/ckpt_*.msgpack | head -1)
-train_phase acc1x-p1c "$P1B" 10 6000 2e-4 || exit 1
+train_phase acc1x-p1c "$P1B" 10 12000 2e-4 --patience 30 || exit 1
 P1C=$(ls -t $ACC/ckpts/acc1x-p1c/ckpt_*.msgpack | head -1)
 
 # Bridge: exact-aligned multi-utterance windows (EOS-continuation skill)

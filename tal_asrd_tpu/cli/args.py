@@ -23,6 +23,11 @@ def get_argparser(is_train: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--model-type", type=str, required=True, choices=["1x", "2x"])
     p.add_argument("--max-epochs", type=int, default=100)
     p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--patience", type=int, default=10,
+                   help="early-stop patience in validation rounds; LR-restart "
+                        "phases need more headroom than the default (a fresh "
+                        "LR cycle transiently worsens val before it helps — "
+                        "the r4 p1b phase early-stopped at 1320/12000 steps)")
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--val-batch-size", type=int, default=None)
     p.add_argument("--beam-size", type=int, default=5)

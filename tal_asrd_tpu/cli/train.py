@@ -187,6 +187,7 @@ def main(argv=None):
         TrainerConfig(
             max_epochs=args.max_epochs,
             max_steps=args.max_steps,
+            early_stop_patience=getattr(args, "patience", 10),
             quick_test=args.quick_test,
             overfit_pct=args.overfit_pct,
             val_check_interval=args.val_check_interval,
