@@ -92,7 +92,11 @@ def _layer_step_kernel(
     cv = cv_out_ref[:].astype(f32)
     pos_ok = jax.lax.broadcasted_iota(jnp.int32, (1, l_buf), 1) <= idx
 
-    sa = jnp.zeros((b, d), f32)
+    # Per-head outputs are gathered by CONCATENATION, not .at[].set — the
+    # scatter that lowers to is unimplemented in Mosaic (the real chip
+    # rejected it, PERF_SWEEP 2026-08-18); dh is lane-aligned (128) so the
+    # concat is tile-exact.
+    sa_heads = []
     for hi in range(h):
         sl = slice(hi * dh, (hi + 1) * dh)
         qh = q[:, sl] * scale                               # [B, dh]
@@ -101,7 +105,8 @@ def _layer_step_kernel(
         m = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
-        sa = sa.at[:, sl].set(jnp.sum(p[:, :, None] * cv[:, :, sl], 1))
+        sa_heads.append(jnp.sum(p[:, :, None] * cv[:, :, sl], 1))
+    sa = jnp.concatenate(sa_heads, axis=-1)                 # [B, D]
 
     sa = jnp.dot(sa.astype(x.dtype), wso_ref[:].astype(x.dtype),
                  preferred_element_type=f32)
@@ -123,7 +128,7 @@ def _layer_step_kernel(
     memv = memv_ref[:].astype(f32) * sv_ref[0][None, None, :]
     bias = membias_ref[:]                           # [B, S]
     s = memk.shape[1]
-    ca = jnp.zeros((b, d), f32)
+    ca_heads = []
     attn_acc = jnp.zeros((b, s), f32)
     for hi in range(h):
         sl = slice(hi * dh, (hi + 1) * dh)
@@ -133,7 +138,8 @@ def _layer_step_kernel(
         p = jnp.exp(logits - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)  # [B, S]
         attn_acc = attn_acc + p
-        ca = ca.at[:, sl].set(jnp.sum(p[:, :, None] * memv[:, :, sl], 1))
+        ca_heads.append(jnp.sum(p[:, :, None] * memv[:, :, sl], 1))
+    ca = jnp.concatenate(ca_heads, axis=-1)         # [B, D] (scatter-free)
 
     attn_out_ref[:] = attn_acc / h                  # mean over heads
     ca = jnp.dot(ca.astype(x.dtype), wco_ref[:].astype(x.dtype),
@@ -201,8 +207,18 @@ def fused_layer_step(
     if block_b is None or block_b >= b:
         blk, grid = b, 1
     else:
-        assert b % block_b == 0, (b, block_b)
-        blk, grid = block_b, b // block_b
+        # Mosaic tiling: a BLOCKED second-minor dim must be a multiple of the
+        # 8-sublane tile (the [blk, d]/[blk, s] blocks put the batch there).
+        # Interpret mode does not enforce this — the real chip rejected
+        # block 4 with "last two dimensions ... divisible by 8 and 128"
+        # (PERF_SWEEP 2026-08-18) — so round up rather than crash.
+        block_b = max(8, -(-block_b // 8) * 8)
+        while b % block_b:
+            block_b += 8
+        if block_b >= b:
+            blk, grid = b, 1
+        else:
+            blk, grid = block_b, b // block_b
     rw = jnp.stack(
         [weights["resweight"], weights["resweight_src"]]
     ).reshape(1, 2).astype(jnp.float32)

@@ -124,7 +124,9 @@ def _stacked_step_kernel(
     cv = cv_out_ref[0].astype(f32)
     pos_ok = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1) <= idx
 
-    sa = jnp.zeros((b, d), f32)
+    # Heads gathered by concatenation (dh is lane-aligned): .at[].set lowers
+    # to scatter, which Mosaic rejects (same fix as pallas_decode.py).
+    sa_heads = []
     for hi in range(h):
         sl = slice(hi * dh, (hi + 1) * dh)
         qh = q[:, sl] * scale
@@ -133,7 +135,8 @@ def _stacked_step_kernel(
         m = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
-        sa = sa.at[:, sl].set(jnp.sum(p[:, :, None] * cv[:, :, sl], 1))
+        sa_heads.append(jnp.sum(p[:, :, None] * cv[:, :, sl], 1))
+    sa = jnp.concatenate(sa_heads, axis=-1)
 
     sa = jnp.dot(sa.astype(x.dtype), wso_ref[0].astype(x.dtype),
                  preferred_element_type=f32)
@@ -150,7 +153,7 @@ def _stacked_step_kernel(
     memv = memv_ref[0].astype(f32) * sv_ref[0, 0][None, None, :]
     bias = membias_ref[:]
     s = memk.shape[1]
-    ca = jnp.zeros((b, d), f32)
+    ca_heads = []
     attn_acc = jnp.zeros((b, s), f32)
     for hi in range(h):
         sl = slice(hi * dh, (hi + 1) * dh)
@@ -160,7 +163,8 @@ def _stacked_step_kernel(
         p = jnp.exp(logits - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
         attn_acc = attn_acc + p
-        ca = ca.at[:, sl].set(jnp.sum(p[:, :, None] * memv[:, :, sl], 1))
+        ca_heads.append(jnp.sum(p[:, :, None] * memv[:, :, sl], 1))
+    ca = jnp.concatenate(ca_heads, axis=-1)        # scatter-free
 
     attn_out_ref[:] += attn_acc / (h * n_layers)   # mean over heads AND layers
     ca = jnp.dot(ca.astype(x.dtype), wco_ref[0].astype(x.dtype),
@@ -211,8 +215,19 @@ def stacked_decoder_step(
     if block_b is None or block_b >= b:
         blk, nb = b, 1
     else:
-        assert b % block_b == 0, (b, block_b)
-        blk, nb = block_b, b // block_b
+        # Mosaic: a BLOCKED second-minor dim must be a multiple of the
+        # 8-sublane tile; the x/attn blocks put the batch there. Round up
+        # (same fix as pallas_decode.fused_layer_step; the real chip rejects
+        # block 4). NOTE this doubles the VMEM floor of the module-docstring
+        # plan, which assumed block 4 — the kv8+w8 configuration must be
+        # re-budgeted at block 8 before any silicon run.
+        block_b = max(8, -(-block_b // 8) * 8)
+        while b % block_b:
+            block_b += 8
+        if block_b >= b:
+            blk, nb = b, 1
+        else:
+            blk, nb = block_b, b // block_b
 
     # grid: batch-block OUTER, layer MINORMOST — x_out/attn_out revisit the
     # same block across consecutive layer steps (grid-accumulator pattern),

@@ -80,23 +80,31 @@ def test_fused_layer_step_matches_flax(layer):
 
 
 def test_fused_layer_step_batch_blocks(layer):
-    """block_b grids the batch; results must match the unblocked kernel."""
+    """block_b grids the batch; results must match the unblocked kernel.
+
+    Uses a 16-lane batch with block_b=4: Mosaic requires the blocked
+    second-minor (batch) dim be a multiple of the 8-sublane tile, so the
+    driver must round 4 up to 8 and still grid (grid=2) — the real chip
+    rejected block 4 outright (PERF_SWEEP 2026-08-18)."""
     ly, params, mem = layer
     variables = {"params": params}
     mem_kv = ly.apply(variables, mem, method=RZDecoderLayer.precompute_mem_kv)
-    bias = jnp.zeros((B, S), jnp.float32)
     w = pack_layer(params, dtype=jnp.float32)
-    x = jax.random.normal(jax.random.PRNGKey(3), (B, D)) * 0.5
-    mk = mem_kv["k"].reshape(B, S, D)
-    mv = mem_kv["v"].reshape(B, S, D)
+    reps = 4  # tile the B=4 fixture to a 16-lane batch
+    bb = B * reps
+    bias = jnp.zeros((bb, S), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(3), (bb, D)) * 0.5
+    mk = jnp.tile(mem_kv["k"].reshape(B, S, D), (reps, 1, 1))
+    mv = jnp.tile(mem_kv["v"].reshape(B, S, D), (reps, 1, 1))
 
-    args = lambda: (x, w, jnp.zeros((B, L, D)), jnp.zeros((B, L, D)),
+    args = lambda: (x, w, jnp.zeros((bb, L, D)), jnp.zeros((bb, L, D)),
                     mk, mv, bias, jnp.asarray(0, jnp.int32))
     o1 = fused_layer_step(*args(), n_head=H, interpret=True)
-    o2 = fused_layer_step(*args(), n_head=H, interpret=True, block_b=2)
-    for a, b_ in zip(o1, o2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
-                                   rtol=1e-5, atol=1e-5)
+    for blk in (4, 8):  # 4 exercises the round-up, 8 the aligned path
+        o2 = fused_layer_step(*args(), n_head=H, interpret=True, block_b=blk)
+        for a, b_ in zip(o1, o2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-5, atol=1e-5)
 
 
 def test_fused_layer_step_kv8_close_to_exact(layer):
