@@ -83,13 +83,22 @@ def _layer_step_kernel(
     qkv = qkv * sqkv_ref[0][None, :] + bqkv_ref[0][None, :]
     q, k, v = qkv[:, :d], qkv[:, d:2 * d], qkv[:, 2 * d:]
 
-    # in-place cache update at position idx
-    ck_out_ref[:, pl.ds(idx, 1), :] = k.astype(ck_out_ref.dtype)[:, None, :]
-    cv_out_ref[:, pl.ds(idx, 1), :] = v.astype(cv_out_ref.dtype)[:, None, :]
-
+    # In-place cache update at position idx, as a MASKED FULL-REF write: a
+    # dynamic-index store into the tiled second-minor (L) dim is rejected by
+    # Mosaic ("cannot statically prove that index ... is a multiple of 8",
+    # silicon run 2026-08-18). The block already round-trips the entire
+    # cache block per step (BlockSpec loads/stores it whole), so the masked
+    # rewrite adds no HBM traffic.
     l_buf = ck_out_ref.shape[1]
-    ck = ck_out_ref[:].astype(f32)                  # [B, L, D]
-    cv = cv_out_ref[:].astype(f32)
+    at_idx = jax.lax.broadcasted_iota(jnp.int32, (1, l_buf, 1), 1) == idx
+    ck_new = jnp.where(at_idx, k[:, None, :].astype(f32),
+                       ck_out_ref[:].astype(f32))   # [B, L, D]
+    cv_new = jnp.where(at_idx, v[:, None, :].astype(f32),
+                       cv_out_ref[:].astype(f32))
+    ck_out_ref[:] = ck_new.astype(ck_out_ref.dtype)
+    cv_out_ref[:] = cv_new.astype(cv_out_ref.dtype)
+    ck = ck_new
+    cv = cv_new
     pos_ok = jax.lax.broadcasted_iota(jnp.int32, (1, l_buf), 1) <= idx
 
     # Per-head outputs are gathered by CONCATENATION, not .at[].set — the

@@ -116,12 +116,17 @@ def _stacked_step_kernel(
     qkv = qkv * sqkv_ref[0, 0][None, :] + bqkv_ref[0, 0][None, :]
     q, k, v = qkv[:, :d], qkv[:, d:2 * d], qkv[:, 2 * d:]
 
-    ck_out_ref[0, :, pl.ds(idx, 1), :] = k.astype(ck_out_ref.dtype)[:, None, :]
-    cv_out_ref[0, :, pl.ds(idx, 1), :] = v.astype(cv_out_ref.dtype)[:, None, :]
-
+    # Masked full-ref cache write: Mosaic rejects dynamic-index stores into
+    # the tiled second-minor (cap) dim (same fix as pallas_decode.py; the
+    # block round-trips the whole cache slab per grid step anyway).
     cap = ck_out_ref.shape[2]
-    ck = ck_out_ref[0].astype(f32)
-    cv = cv_out_ref[0].astype(f32)
+    at_idx = jax.lax.broadcasted_iota(jnp.int32, (1, cap, 1), 1) == idx
+    ck = jnp.where(at_idx, k[:, None, :].astype(f32),
+                   ck_out_ref[0].astype(f32))       # [B, cap, D]
+    cv = jnp.where(at_idx, v[:, None, :].astype(f32),
+                   cv_out_ref[0].astype(f32))
+    ck_out_ref[0] = ck.astype(ck_out_ref.dtype)
+    cv_out_ref[0] = cv.astype(cv_out_ref.dtype)
     pos_ok = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1) <= idx
 
     # Heads gathered by concatenation (dh is lane-aligned): .at[].set lowers
