@@ -32,6 +32,8 @@ class FrontendConfig:
     center: bool = True       # torch.stft default: reflect-pad n_fft//2
     mean_subtract: bool = True  # models.py:52 `mel -= mel.mean()`
     use_pallas: bool = False  # fused mel-projection Pallas kernel (TPU only)
+    spectrum_impl: str = "auto"  # "fft" | "dft" (windowed DFT as two MXU
+                                 # matmuls; see ops/logmel.py AUTO_SPECTRUM)
 
     @property
     def effective_f_max(self) -> float:

@@ -90,9 +90,42 @@ def frame_signal(audio: jax.Array, cfg: FrontendConfig) -> jax.Array:
     return audio[:, idx]
 
 
+# Spectrum lowering for impl="auto", per backend. XLA's TPU FFT is the
+# classic frontend trap (no FFT unit; n_fft=400 is not even a power of two),
+# while a 400->201 DFT is two small MXU matmuls — but the default only flips
+# on committed silicon evidence (scripts/enc_microbench.py), like the
+# grouped-conv and BENCH_FUSED policies.
+AUTO_SPECTRUM = {"tpu": "fft", "cpu": "fft", "gpu": "fft"}
+
+
+@functools.lru_cache(maxsize=4)
+def dft_matrices(n_fft: int, win_length: int):
+    """Hann-windowed real-DFT matrices [win_length, n_fft//2+1], float32.
+
+    power = (frames @ cos)^2 + (frames @ sin)^2 == |rfft(frames * hann)|^2
+    — the 25 ms window is folded into the constant matrices, so the whole
+    windowed transform is two matmuls on the MXU (f32: the frontend is
+    precision-critical for WER parity; see module docstring)."""
+    n = np.arange(n_fft, dtype=np.float64)[:, None]
+    k = np.arange(n_fft // 2 + 1, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * n * k / n_fft
+    w = _hann_periodic(win_length).astype(np.float64)[:, None]
+    return (np.cos(ang) * w).astype(np.float32), \
+           (np.sin(ang) * w).astype(np.float32)
+
+
 def power_spectrogram(audio: jax.Array, cfg: FrontendConfig) -> jax.Array:
     """[B, T] -> [B, n_frames, n_fft//2 + 1] power spectrum (|rfft|^2)."""
     frames = frame_signal(audio, cfg)
+    impl = getattr(cfg, "spectrum_impl", "auto")
+    if impl == "auto":
+        impl = AUTO_SPECTRUM.get(jax.default_backend(), "fft")
+    if impl == "dft":
+        cosm, sinm = dft_matrices(cfg.n_fft, cfg.win_length)
+        frames = frames.astype(jnp.float32)
+        re = frames @ jnp.asarray(cosm)
+        im = frames @ jnp.asarray(sinm)
+        return re ** 2 + im ** 2
     window = jnp.asarray(_hann_periodic(cfg.win_length))
     frames = frames * window
     spec = jnp.fft.rfft(frames.astype(jnp.float32), n=cfg.n_fft, axis=-1)

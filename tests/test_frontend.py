@@ -225,3 +225,27 @@ def test_ngram_repeat_mask_valid_len():
     m = np.asarray(ngram_repeat_mask(jnp.asarray(xs), 2, jnp.asarray([6])))
     assert m[0, 6:].sum() == 0
     assert m[0, 2:6].sum() > 0
+
+
+def test_dft_spectrum_matches_fft_and_golden():
+    """spectrum_impl='dft' (windowed DFT as two f32 MXU matmuls,
+    ops/logmel.py dft_matrices) must match both the rfft path and the
+    committed torch.stft golden — it is the TPU lowering of the SAME
+    transform, not an approximation."""
+    from dataclasses import replace
+
+    fix = np.load(os.path.join(FIXTURES, "stft_golden.npz"))
+    audio = jnp.asarray(fix["audio"])
+    p_fft = np.asarray(power_spectrogram(audio, replace(CFG, spectrum_impl="fft")))
+    p_dft = np.asarray(power_spectrogram(audio, replace(CFG, spectrum_impl="dft")))
+    np.testing.assert_allclose(p_dft, p_fft, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(p_dft, fix["ref_power"], rtol=1e-4, atol=1e-5)
+
+    # full log-mel parity between impls on random audio
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 16000)).astype(np.float32) * 0.3)
+    cfg_f = replace(CFG, spectrum_impl="fft")
+    cfg_d = replace(CFG, spectrum_impl="dft")
+    m_f = np.asarray(log_mel_spectrogram(x, cfg_f))
+    m_d = np.asarray(log_mel_spectrogram(x, cfg_d))
+    np.testing.assert_allclose(m_d, m_f, rtol=2e-4, atol=2e-4)
