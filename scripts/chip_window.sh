@@ -54,8 +54,10 @@ else
   # 1. fused rows on silicon (post-Mosaic-fix; numerics gates ride in-row)
   timeout 3000 python scripts/fused_rows.py --batch 256 --blocks 8,16 \
       --kv8 --w8 || echo "[window] fused_rows failed"
-  # 2. grouped-conv lowering shootout at bench shapes
-  timeout 1800 python scripts/enc_microbench.py --batch 32 \
+  # 2. dispatch-corrected shootout: frontend fft/dft, grouped-conv
+  #    lowerings, full-encode combos
+  timeout 2400 python scripts/enc_microbench.py --batch 32 \
+      --variants xla,packed10 \
       --json-out ENC_MICROBENCH.json || echo "[window] enc_microbench failed"
 fi
 

@@ -67,22 +67,23 @@ def main():
     ap.add_argument("--best", default=os.path.join(ROOT, "PERF_BEST.json"))
     args = ap.parse_args()
 
-    won = False
+    # int8 rows run UNCONDITIONALLY (unlike perf_sweep's gate-on-base-win):
+    # the VMEM budget at block 8 (weights ~7 MB bf16 + double-buffered
+    # window K/V ~11 MB bf16) makes kv8/w8 the only configurations expected
+    # to fit — a bf16 OOM must not suppress the configs designed to fix it.
     blocks = [int(b) for b in args.blocks.split(",")]
     for blk in blocks:
         r = run_one(args.batch, 1, blk, 0, 0, args.out, args.timeout)
         print(json.dumps(r))
-        won = won or "value" in r
-    if won and (args.kv8 or args.w8):
-        if args.kv8:
-            print(json.dumps(run_one(args.batch, 1, blocks[0], 1, 0,
-                                     args.out, args.timeout)))
-        if args.w8:
-            print(json.dumps(run_one(args.batch, 1, blocks[0], 0, 1,
-                                     args.out, args.timeout)))
-        if args.kv8 and args.w8:
-            print(json.dumps(run_one(args.batch, 1, blocks[0], 1, 1,
-                                     args.out, args.timeout)))
+    if args.kv8:
+        print(json.dumps(run_one(args.batch, 1, blocks[0], 1, 0,
+                                 args.out, args.timeout)))
+    if args.w8:
+        print(json.dumps(run_one(args.batch, 1, blocks[0], 0, 1,
+                                 args.out, args.timeout)))
+    if args.kv8 and args.w8:
+        print(json.dumps(run_one(args.batch, 1, blocks[0], 1, 1,
+                                 args.out, args.timeout)))
     summarize(args.out, args.best)
 
 

@@ -71,6 +71,7 @@ def _layer_step_kernel(
     h = n_head
     dh = d // h
     f32 = jnp.float32
+    cdt = x.dtype               # dot compute dtype (bf16 in production)
     scale = 1.0 / (dh ** 0.5)
 
     # ---- self-attention: fused QKV -------------------------------------
@@ -83,38 +84,45 @@ def _layer_step_kernel(
     qkv = qkv * sqkv_ref[0][None, :] + bqkv_ref[0][None, :]
     q, k, v = qkv[:, :d], qkv[:, d:2 * d], qkv[:, 2 * d:]
 
-    # In-place cache update at position idx, as a MASKED FULL-REF write: a
-    # dynamic-index store into the tiled second-minor (L) dim is rejected by
-    # Mosaic ("cannot statically prove that index ... is a multiple of 8",
-    # silicon run 2026-08-18). The block already round-trips the entire
-    # cache block per step (BlockSpec loads/stores it whole), so the masked
+    # In-place cache update at position idx, as a MASKED FULL-REF write in
+    # the CACHE dtype: a dynamic-index store into the tiled second-minor (L)
+    # dim is rejected by Mosaic ("cannot statically prove that index ... is
+    # a multiple of 8"), and upcasting the whole cache to f32 blew the 16 MB
+    # scoped-VMEM stack (both measured on silicon, 2026-08-18). The block
+    # already round-trips the entire cache block per step, so the masked
     # rewrite adds no HBM traffic.
     l_buf = ck_out_ref.shape[1]
     at_idx = jax.lax.broadcasted_iota(jnp.int32, (1, l_buf, 1), 1) == idx
-    ck_new = jnp.where(at_idx, k[:, None, :].astype(f32),
-                       ck_out_ref[:].astype(f32))   # [B, L, D]
-    cv_new = jnp.where(at_idx, v[:, None, :].astype(f32),
-                       cv_out_ref[:].astype(f32))
-    ck_out_ref[:] = ck_new.astype(ck_out_ref.dtype)
-    cv_out_ref[:] = cv_new.astype(cv_out_ref.dtype)
-    ck = ck_new
-    cv = cv_new
+    ck = jnp.where(at_idx, k[:, None, :].astype(ck_out_ref.dtype),
+                   ck_out_ref[:])                   # [B, L, D] cache dtype
+    cv = jnp.where(at_idx, v[:, None, :].astype(cv_out_ref.dtype),
+                   cv_out_ref[:])
+    ck_out_ref[:] = ck
+    cv_out_ref[:] = cv
     pos_ok = jax.lax.broadcasted_iota(jnp.int32, (1, l_buf), 1) <= idx
 
     # Per-head outputs are gathered by CONCATENATION, not .at[].set — the
     # scatter that lowers to is unimplemented in Mosaic (the real chip
-    # rejected it, PERF_SWEEP 2026-08-18); dh is lane-aligned (128) so the
-    # concat is tile-exact.
+    # rejected it); dh is lane-aligned (128) so the concat is tile-exact.
+    # Attention dots run on stored-dtype slices with f32 accumulation
+    # (dot_general preferred_element_type) instead of materializing f32
+    # copies — same products, f32 sums, no VMEM-stack blowup.
     sa_heads = []
     for hi in range(h):
         sl = slice(hi * dh, (hi + 1) * dh)
-        qh = q[:, sl] * scale                               # [B, dh]
-        logits = jnp.sum(qh[:, None, :] * ck[:, :, sl], -1)  # [B, L]
+        qh = (q[:, sl] * scale).astype(cdt)                 # [B, dh]
+        logits = jax.lax.dot_general(
+            ck[:, :, sl].astype(cdt), qh,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32)                     # [B, L]
         logits = jnp.where(pos_ok, logits, NEG_INF)
         m = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        sa_heads.append(jnp.sum(p[:, :, None] * cv[:, :, sl], 1))
+        p = p / jnp.sum(p, axis=-1, keepdims=True)          # f32 [B, L]
+        sa_heads.append(jax.lax.dot_general(
+            p.astype(cdt), cv[:, :, sl].astype(cdt),
+            (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32))                    # [B, dh]
     sa = jnp.concatenate(sa_heads, axis=-1)                 # [B, D]
 
     sa = jnp.dot(sa.astype(x.dtype), wso_ref[:].astype(x.dtype),
@@ -128,26 +136,34 @@ def _layer_step_kernel(
     qc = jnp.dot(x1.astype(x.dtype), wcq_ref[:].astype(x.dtype),
                  preferred_element_type=f32)
     qc = qc * scq_ref[0][None, :] + bcq_ref[0][None, :]
-    # Dequant (or identity): the cross-K/V re-read is the dominant HBM
-    # traffic of the decode step (~190 MB/step at B=32 bench shapes, see
-    # ARCHITECTURE.md roofline) — int8 storage halves it vs bf16. Scales are
-    # per-channel so the multiply is exact algebra; only the int8 rounding
-    # itself perturbs numerics.
-    memk = memk_ref[:].astype(f32) * sk_ref[0][None, None, :]  # [B, S, D]
-    memv = memv_ref[:].astype(f32) * sv_ref[0][None, None, :]
+    # Dequant scales fold into the per-head dots EXACTLY (they are
+    # per-channel): the K scale folds into the query before the logits dot,
+    # the V scale folds after the prob-weighted sum — so the int8 (or bf16)
+    # cross-K/V is consumed in its STORED dtype and never materialized as an
+    # f32 copy (the f32 upcast of the full window K/V was 11 MB of kernel
+    # stack at block 8 and OOM'd the 16 MB scoped VMEM, silicon 2026-08-18).
+    # The cross-K/V re-read remains the dominant HBM traffic of the step
+    # (~190 MB/step at B=32 bench shapes) — int8 storage halves it vs bf16.
     bias = membias_ref[:]                           # [B, S]
-    s = memk.shape[1]
+    s = memk_ref.shape[1]
     ca_heads = []
     attn_acc = jnp.zeros((b, s), f32)
     for hi in range(h):
         sl = slice(hi * dh, (hi + 1) * dh)
-        qh = qc[:, sl] * scale
-        logits = jnp.sum(qh[:, None, :] * memk[:, :, sl], -1) + bias
+        qh = (qc[:, sl] * scale * sk_ref[0][sl][None, :]).astype(cdt)
+        logits = jax.lax.dot_general(
+            memk_ref[:, :, sl].astype(cdt), qh,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32) + bias      # [B, S]
         m = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)  # [B, S]
+        p = p / jnp.sum(p, axis=-1, keepdims=True)  # f32 [B, S]
         attn_acc = attn_acc + p
-        ca_heads.append(jnp.sum(p[:, :, None] * memv[:, :, sl], 1))
+        pv = jax.lax.dot_general(
+            p.astype(cdt), memv_ref[:, :, sl].astype(cdt),
+            (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32)             # [B, dh]
+        ca_heads.append(pv * sv_ref[0][sl][None, :])
     ca = jnp.concatenate(ca_heads, axis=-1)         # [B, D] (scatter-free)
 
     attn_out_ref[:] = attn_acc / h                  # mean over heads
