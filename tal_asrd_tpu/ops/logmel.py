@@ -92,10 +92,13 @@ def frame_signal(audio: jax.Array, cfg: FrontendConfig) -> jax.Array:
 
 # Spectrum lowering for impl="auto", per backend. XLA's TPU FFT is the
 # classic frontend trap (no FFT unit; n_fft=400 is not even a power of two),
-# while a 400->201 DFT is two small MXU matmuls — but the default only flips
-# on committed silicon evidence (scripts/enc_microbench.py), like the
-# grouped-conv and BENCH_FUSED policies.
-AUTO_SPECTRUM = {"tpu": "fft", "cpu": "fft", "gpu": "fft"}
+# while a 400->201 DFT is two small MXU matmuls. TPU default flipped to
+# "dft" on silicon evidence (ENC_MICROBENCH.json, 2026-08-18, dispatch-
+# corrected scan x16 at B=32: dft 18.27 ms vs fft 23.85 ms — a 23% frontend
+# win; parity pinned to 1e-4 by tests/test_frontend.py vs both the rfft
+# path and the torch golden fixture). CPU keeps rfft (pocketfft beats the
+# O(N^2) matmuls on a scalar core).
+AUTO_SPECTRUM = {"tpu": "dft", "cpu": "fft", "gpu": "fft"}
 
 
 @functools.lru_cache(maxsize=4)
