@@ -104,25 +104,29 @@ def _layer_step_kernel(
     # Per-head outputs are gathered by CONCATENATION, not .at[].set — the
     # scatter that lowers to is unimplemented in Mosaic (the real chip
     # rejected it); dh is lane-aligned (128) so the concat is tile-exact.
-    # Attention dots run on stored-dtype slices with f32 accumulation
-    # (dot_general preferred_element_type) instead of materializing f32
-    # copies — same products, f32 sums, no VMEM-stack blowup.
+    # Attention contractions run as broadcast-multiply + f32 reductions on
+    # the VPU, NOT dot_general: a dot with batch dimensions fails Mosaic's
+    # TPU_DotDimensionNumbersAttr parse outright (silicon 2026-08-18), and
+    # these are tiny [B_blk, L, dh] contractions — the MXU FLOPs of this
+    # kernel are the 2D weight matmuls. Products in the stored compute dtype
+    # with f32 accumulation = the MXU's own numeric contract.
     sa_heads = []
     for hi in range(h):
         sl = slice(hi * dh, (hi + 1) * dh)
         qh = (q[:, sl] * scale).astype(cdt)                 # [B, dh]
-        logits = jax.lax.dot_general(
-            ck[:, :, sl].astype(cdt), qh,
-            (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=f32)                     # [B, L]
+        logits = jnp.sum(ck[:, :, sl].astype(cdt) * qh[:, None, :],
+                         axis=2, dtype=f32)                 # [B, L]
         logits = jnp.where(pos_ok, logits, NEG_INF)
         m = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)          # f32 [B, L]
-        sa_heads.append(jax.lax.dot_general(
-            p.astype(cdt), cv[:, :, sl].astype(cdt),
-            (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=f32))                    # [B, dh]
+        # Minor-dim insert happens on the f32 probs (Mosaic: "Insertion of
+        # minor dim that is not a no-op only supported for 32-bit types",
+        # silicon 2026-08-18), THEN casts — elementwise identical to casting
+        # first.
+        sa_heads.append(jnp.sum(
+            p[:, :, None].astype(cdt) * cv[:, :, sl].astype(cdt),
+            axis=1, dtype=f32))                             # [B, dh]
     sa = jnp.concatenate(sa_heads, axis=-1)                 # [B, D]
 
     sa = jnp.dot(sa.astype(x.dtype), wso_ref[:].astype(x.dtype),
@@ -151,18 +155,15 @@ def _layer_step_kernel(
     for hi in range(h):
         sl = slice(hi * dh, (hi + 1) * dh)
         qh = (qc[:, sl] * scale * sk_ref[0][sl][None, :]).astype(cdt)
-        logits = jax.lax.dot_general(
-            memk_ref[:, :, sl].astype(cdt), qh,
-            (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=f32) + bias      # [B, S]
+        logits = jnp.sum(memk_ref[:, :, sl].astype(cdt) * qh[:, None, :],
+                         axis=2, dtype=f32) + bias  # [B, S]
         m = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)  # f32 [B, S]
         attn_acc = attn_acc + p
-        pv = jax.lax.dot_general(
-            p.astype(cdt), memv_ref[:, :, sl].astype(cdt),
-            (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=f32)             # [B, dh]
+        pv = jnp.sum(
+            p[:, :, None].astype(cdt) * memv_ref[:, :, sl].astype(cdt),
+            axis=1, dtype=f32)                      # [B, dh]
         ca_heads.append(pv * sv_ref[0][sl][None, :])
     ca = jnp.concatenate(ca_heads, axis=-1)         # [B, D] (scatter-free)
 
@@ -304,6 +305,14 @@ def fused_layer_step(
         out_shape=out_shape,
         input_output_aliases={15: 2, 16: 3},
         interpret=interpret,
+        # The resident working set (one 2x layer's weights ~7 MB + the
+        # batch-block's self-cache and cross-K/V blocks + f32 reduce temps)
+        # legitimately exceeds Mosaic's 16 MB scoped-VMEM DEFAULT at block 8
+        # (17.9 MB measured on silicon 2026-08-18); v5e has 128 MB physical
+        # VMEM, so raise the cap rather than shrink the block below the
+        # 8-sublane tile floor.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(
         jnp.asarray(index, jnp.int32).reshape(1),
         x,
