@@ -109,7 +109,10 @@ def main():
     if os.environ.get("BENCH_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     guard = _deadline_guard()
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    # Default 256 per the pre-committed flip criteria (ROADMAP): the real-chip
+    # sweep (PERF_SWEEP.jsonl, 2026-08-18) shows 14156 audio-h/h at 256 vs
+    # 7898 at 32 (+79%, >> the 10% gate); throughput-per-chip is the metric.
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
     max_new = int(os.environ.get("BENCH_STEPS", "96"))
     beam = int(os.environ.get("BENCH_BEAM", "1"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
