@@ -138,9 +138,19 @@ def main():
                       **(dict(tds_depths=(1, 1, 1), width_mult=0.1,
                               d_decoder_override=64) if tiny else {}))
     model = ASRModel(cfg, dtype=jnp.bfloat16)
-    # BENCH_FUSED=1: decode through the fused Pallas layer-step kernel
+    # BENCH_FUSED: decode through the fused Pallas layer-step kernel
     # (ops/pallas_decode.py); encode stays on the flax/XLA path.
-    use_fused = os.environ.get("BENCH_FUSED", "0") == "1"
+    # Default ON for TPU per the pre-committed flip criteria (ROADMAP): the
+    # real-chip sweep row batch=256/block=8 measured 18588 audio-h/h vs the
+    # flax path's 14156 at the same batch (+31%, >> the 5% gate) with the
+    # greedy-token-match numerics probe TRUE (PERF_SWEEP.jsonl, 2026-08-18).
+    # Mosaic compiles only on TPU, so non-TPU runs (CPU smokes, dryruns)
+    # default to the flax path unless BENCH_FUSED is set explicitly.
+    try:
+        on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    except Exception:
+        on_tpu = False
+    use_fused = os.environ.get("BENCH_FUSED", "1" if on_tpu else "0") == "1"
     fused_block = int(os.environ.get("BENCH_FUSED_BLOCK", "8"))
     # BENCH_FUSED_INTERPRET=1: CPU smoke of the fused code path (Mosaic
     # compiles only on TPU); numbers are meaningless, plumbing is real.
