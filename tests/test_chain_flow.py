@@ -139,9 +139,10 @@ def test_basin_path_triggers_lr_retry(tmp_path):
     assert "name=acc1x-p2m steps=3000 lr=3e-4" in calls
     assert (acc / "ckpts" / ".p2m_retry_done").exists()
     assert (acc / "ckpts" / "p2m-lr1e4-basin").is_dir()
-    # the retry loaded p1c, not the basin p2m
+    # the retry loaded p1c, not the basin p2m (p1c's nominal target is
+    # 12000 steps since the 2026-08-18 bump; the stub writes ckpt_<max_steps>)
     retry = [l for l in calls.splitlines() if "lr=3e-4" in l][0]
-    assert "acc1x-p1c/ckpt_00006000.msgpack" in retry
+    assert "acc1x-p1c/ckpt_00012000.msgpack" in retry
     merged = json.loads((acc / "VALSPLIT_r4.json").read_text())
     assert merged["p2m_lr1e4"]["val_segment"] == 4.2   # basin evidence kept
     assert merged["p2m"]["val_segment"] == 1.7          # retry's CE
