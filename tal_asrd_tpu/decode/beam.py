@@ -220,7 +220,17 @@ def beam_search(
         )
         state = dict(c["state"])
         if k > 1:
-            state["caches"] = jax.tree_util.tree_map(reorder, c["state"]["caches"])
+            # The stacked fused decoder keys its self-attention caches
+            # [L, B*K, cap, D] — the beam axis is 1, not 0 (model advertises
+            # it via cache_beam_axis; per-layer layouts default to 0).
+            cache_axis = getattr(model, "cache_beam_axis", 0)
+            reorder_cache = (
+                reorder if cache_axis == 0
+                else lambda x: jnp.take(x, flat_beams, axis=cache_axis)
+            )
+            state["caches"] = jax.tree_util.tree_map(
+                reorder_cache, c["state"]["caches"]
+            )
             if "spk_caches" in state:
                 state["spk_caches"] = jax.tree_util.tree_map(
                     reorder, c["state"]["spk_caches"]

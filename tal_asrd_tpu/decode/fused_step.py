@@ -33,6 +33,10 @@ from tal_asrd_tpu.ops.pallas_decode import (
     quantize_mem_kv,
     quantize_packed,
 )
+from tal_asrd_tpu.ops.pallas_decode_stacked import (
+    pack_decoder_stacked,
+    stacked_decoder_step,
+)
 
 
 class FusedASRDecoder:
@@ -53,7 +57,7 @@ class FusedASRDecoder:
 
     def __init__(self, model: ASRModel, interpret: bool = False,
                  block_b: Optional[int] = None, kv8: bool = False,
-                 w8: bool = False):
+                 w8: bool = False, stacked: bool = False):
         assert not model.cfg.use_speaker_head, (
             "fused decode path covers the speaker-token mode; the speaker "
             "head adds a second decoder stack (use the flax path)"
@@ -65,6 +69,18 @@ class FusedASRDecoder:
         self.block_b = block_b
         self.kv8 = kv8
         self.w8 = w8
+        # stacked=True: ONE pallas_call per token over grid=(batch_block,
+        # layer) (ops/pallas_decode_stacked.py) instead of one call per
+        # layer — Mosaic double-buffers the next layer's weight/K/V DMA
+        # behind the current layer's compute and the hidden never leaves
+        # VMEM between layers. State layout changes: caches/mem-K/V carry a
+        # leading layer axis ([L, B, cap, D]), so beam.py must gather beams
+        # along axis 1 (see cache_beam_axis).
+        self.stacked = stacked
+        # Beam axis of the self-attention cache arrays for beam_search's
+        # per-step reorder gather: 0 for per-layer dicts keyed [B*K, ...],
+        # 1 for the stacked [L, B*K, cap, D] layout.
+        self.cache_beam_axis = 1 if stacked else 0
         self._pe = jnp.asarray(
             sinusoidal_positions(model.cfg.max_positions, model.cfg.d_decoder),
             model.dtype,
@@ -79,6 +95,12 @@ class FusedASRDecoder:
     def _packed(self, variables):
         return pack_decoder(
             variables["params"]["decoder"], self.cfg.n_decoder_layers, self.dtype
+        )
+
+    def _packed_stacked(self, variables):
+        return pack_decoder_stacked(
+            variables["params"]["decoder"], self.cfg.n_decoder_layers,
+            self.dtype, w8=self.w8,
         )
 
     def _embed(self, variables, y_tok: jax.Array) -> jax.Array:
@@ -107,20 +129,32 @@ class FusedASRDecoder:
         mem = encoder_out["encoder_out"]
         mem_kvs = self.precompute_mem_kvs(variables, mem)
         d = self.cfg.d_decoder
-        caches = tuple(
-            {
-                "k": jnp.zeros((batch, max_len, d), self.dtype),
-                "v": jnp.zeros((batch, max_len, d), self.dtype),
+        n_layers = self.cfg.n_decoder_layers
+        if self.stacked:
+            caches = {
+                "k": jnp.zeros((n_layers, batch, max_len, d), self.dtype),
+                "v": jnp.zeros((n_layers, batch, max_len, d), self.dtype),
             }
-            for _ in range(self.cfg.n_decoder_layers)
-        )
+        else:
+            caches = tuple(
+                {
+                    "k": jnp.zeros((batch, max_len, d), self.dtype),
+                    "v": jnp.zeros((batch, max_len, d), self.dtype),
+                }
+                for _ in range(n_layers)
+            )
         state = {
             "mem_kvs": mem_kvs,
             "caches": caches,
             "index": jnp.zeros((), jnp.int32),
             "mask": encoder_out["encoder_padding_mask"],
         }
-        if self.w8:
+        if self.stacked:
+            # Always carried for the stacked kernel: re-stacking per token
+            # would be an [L, ...] concat inside the while_loop body; packed
+            # once here it rides as an invariant carry (int8 when w8).
+            state["packed"] = self._packed_stacked(variables)
+        elif self.w8:
             # Quantize ONCE here (outside the token loop) and carry the packed
             # int8 weights in the state: beam.py reorders only caches/
             # spk_caches, so these ride through the while_loop as invariant
@@ -131,7 +165,11 @@ class FusedASRDecoder:
         return state
 
     def precompute_mem_kvs(self, variables, memory: jax.Array):
-        """Per-layer cross K/V, flattened [B, S, H*dh]; int8+scales if kv8."""
+        """Per-layer cross K/V, flattened [B, S, H*dh]; int8+scales if kv8.
+
+        stacked=True returns ONE dict of layer-stacked arrays
+        ({"k": [L, B, S, D], "v": [L, B, S, D]} + "sk"/"sv" [L, D] under kv8)
+        matching stacked_decoder_step's operand layout."""
         out = []
         for li in range(self.cfg.n_decoder_layers):
             lp = variables["params"]["decoder"][f"layers_{li}"]["cross_attn"]
@@ -143,19 +181,26 @@ class FusedASRDecoder:
                 out.append({"k": k8, "v": v8, "sk": sk, "sv": sv})
             else:
                 out.append({"k": k, "v": v})
+        if self.stacked:
+            return {
+                key: jnp.stack([kv[key] for kv in out])
+                for key in out[0]
+            }
         return tuple(out)
 
     def decode_step(self, variables, y_tok: jax.Array, state: Dict[str, Any]):
         """[B, 1] token -> (logits [B, V], None, mean-layer cross-attn [B, S],
         new_state). Matches ASRModel.decode_step's contract."""
         idx = state["index"]
-        packed = state.get("packed") or self._packed(variables)
         x = self._embed(variables, y_tok[:, 0])                    # [B, D]
         x = x + jax.lax.dynamic_slice_in_dim(self._pe, idx, 1, axis=0)[0]
 
         mask = state["mask"]
         b = x.shape[0]
-        s = state["mem_kvs"][0]["k"].shape[1]
+        if self.stacked:
+            s = state["mem_kvs"]["k"].shape[2]
+        else:
+            s = state["mem_kvs"][0]["k"].shape[1]
         if mask is None:
             bias = jnp.zeros((b, s), jnp.float32)
         else:
@@ -163,6 +208,26 @@ class FusedASRDecoder:
             if bias.shape[0] == 1 and b > 1:
                 bias = jnp.broadcast_to(bias, (b, s))
 
+        if self.stacked:
+            # One pallas_call for the whole stack; attn comes back already
+            # meaned over heads AND layers. The hand-built unaligned state
+            # lacks "packed" — fall back to packing here (loop-invariant, so
+            # XLA hoists it out of while_loop bodies, same as the per-layer
+            # path's fallback).
+            stacked_w = state.get("packed") or self._packed_stacked(variables)
+            mem = state["mem_kvs"]
+            caches = state["caches"]
+            x, attn_mean, ck, cv = stacked_decoder_step(
+                x, stacked_w, caches["k"], caches["v"], mem["k"], mem["v"],
+                bias, idx, n_head=self.cfg.n_head,
+                mem_k_scale=mem.get("sk"), mem_v_scale=mem.get("sv"),
+                interpret=self.interpret, block_b=self.block_b,
+            )
+            logits = self._logits(variables, x)
+            new_state = dict(state, caches={"k": ck, "v": cv}, index=idx + 1)
+            return logits, None, attn_mean, new_state
+
+        packed = state.get("packed") or self._packed(variables)
         caches = state["caches"]
         new_caches = []
         attn_sum = None
@@ -188,7 +253,10 @@ class FusedASRDecoder:
         """Flax full-sequence prefill, caches re-flattened to kernel layout.
 
         mem_kvs here are the FLATTENED per-layer dicts from this class's
-        precompute_mem_kvs; they are reshaped to [B, S, H, dh] for flax.
+        precompute_mem_kvs (or the single layer-stacked dict when
+        stacked=True); they are reshaped to [B, S, H, dh] for flax, and the
+        returned caches are re-flattened to the kernel layout ([B, L, H*dh]
+        per layer, or [L, B, cap, H*dh] stacked).
         """
         h, d = self.cfg.n_head, self.cfg.d_decoder
         dh = d // h
@@ -205,11 +273,31 @@ class FusedASRDecoder:
                 "v": v.reshape(b, s, h, dh),
             }
 
-        flax_kvs = tuple(unflat(kv) for kv in mem_kvs)
+        if self.stacked:
+            n_layers = self.cfg.n_decoder_layers
+            per_layer = tuple(
+                {key: mem_kvs[key][li] for key in mem_kvs}
+                for li in range(n_layers)
+            )
+            flax_kvs = tuple(unflat(kv) for kv in per_layer)
+        else:
+            flax_kvs = tuple(unflat(kv) for kv in mem_kvs)
         logits, attn, caches = self.model.apply(
             variables, y, flax_kvs, mem_mask, cache_len,
             method=ASRModel.decode_prefill,
         )
+        if self.stacked:
+            stacked_caches = {
+                "k": jnp.stack([
+                    c["k"].reshape(c["k"].shape[0], c["k"].shape[1], d)
+                    for c in caches
+                ]),
+                "v": jnp.stack([
+                    c["v"].reshape(c["v"].shape[0], c["v"].shape[1], d)
+                    for c in caches
+                ]),
+            }
+            return logits, attn, stacked_caches
         flat = tuple(
             {
                 "k": c["k"].reshape(c["k"].shape[0], c["k"].shape[1], d),
