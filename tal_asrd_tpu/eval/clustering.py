@@ -92,6 +92,11 @@ def cluster_embeddings(
     x = np.asarray(list(embeddings), np.float32)
     if x.ndim == 1:
         x = x[:, None]
+    if len(x) < 2:
+        # Every sklearn engine requires >=2 samples; a 1-utterance segment
+        # is trivially one speaker (reference hits the same degenerate case
+        # only via its grid's try/except in wder_search.py).
+        return np.zeros(len(x), np.int64)
     if pca_dims and 0 < pca_dims < x.shape[1]:
         from sklearn.decomposition import PCA
 
