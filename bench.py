@@ -263,7 +263,7 @@ def main():
         extras["fused_w8"] = fused_w8
         extras["fused_greedy_token_match"] = match
 
-    def make_decode(k):
+    def make_decode(k, decoder=None):
         spec = BeamSearchSpec(
             beam_size=k,
             max_new_tokens=max_new,
@@ -272,12 +272,13 @@ def main():
             text_vocab_size=cfg.vocab_size,
             force_output=True,
         )
+        dm = dec_model if decoder is None else decoder
 
         @jax.jit
         def decode(variables, audio, audio_lens):
             enc = model.apply(variables, audio, audio_lens, False,
                               method=ASRModel.encode)
-            return beam_search(dec_model, variables, enc,
+            return beam_search(dm, variables, enc,
                                jnp.ones((batch, 1), jnp.int32), spec)
 
         return decode
@@ -321,6 +322,26 @@ def main():
         per_b5 = _timed(lambda: decode5(variables, audio, audio_lens),
                         lambda o: o["tokens"], max(iters // 3, 2))
         extras["beam5_audio_hours_per_hour"] = round(audio_secs / per_b5, 2)
+
+        # Beam-level fused-vs-flax token agreement ON SILICON (VERDICT r4
+        # weak #5 / next #10): the greedy probe above cannot see beam-search
+        # tie-break divergence under the fused kernel's logit deviation
+        # (maxdiff 0.125 abs could flip a near-tie at k=5). One beam5 decode
+        # per path on the bumped probe weights; guarded so a failure records
+        # itself without erasing the round's whole perf artifact.
+        if use_fused and os.environ.get("BENCH_BEAM5_PARITY", "1") == "1":
+            try:
+                out5_f = decode5(probe_vars, audio, audio_lens)
+                out5_r = make_decode(5, decoder=model)(
+                    probe_vars, audio, audio_lens)
+                t5f = np.asarray(out5_f["tokens"])
+                t5r = np.asarray(out5_r["tokens"])
+                frac = float((t5f == t5r).mean())
+                extras["beam5_fused_token_agreement_pct"] = round(
+                    100.0 * frac, 3)
+                extras["beam5_fused_token_match"] = bool(frac == 1.0)
+            except Exception as e:  # record, don't erase the artifact
+                extras["beam5_fused_parity_error"] = f"{type(e).__name__}"
 
         # ---- 3. unaligned full-episode state machine -----------------------
         # N episodes in lockstep through the vmapped machine: wall time is
@@ -378,6 +399,16 @@ def main():
         acc_dir = os.environ.get("ACC_DIR", "accuracy")
         trained = os.path.join(acc_dir, "avg_last_3.msgpack")
         bpe = os.path.join(acc_dir, "bpe.model")
+        if not (os.path.exists(trained) and os.path.exists(bpe)):
+            # Reboot/round-durable fallback (scripts/persist_ckpt.py): the
+            # gitignored accuracy/ tree can vanish with the machine; the
+            # tracked bf16 release artifact keeps this leg on real weights.
+            rel = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "accuracy_release")
+            rt = os.path.join(rel, "avg_last_3.bf16.msgpack")
+            rb = os.path.join(rel, "bpe.model")
+            if os.path.exists(rt) and os.path.exists(rb):
+                trained, bpe = rt, rb
         if os.path.exists(trained) and os.path.exists(bpe):
             import tempfile
 
