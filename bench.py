@@ -125,6 +125,12 @@ def main():
     # rounds = value / unaligned_episodes.
     episodes = int(os.environ.get("BENCH_EPISODES", "4"))
     skip_extras = os.environ.get("BENCH_SKIP_EXTRAS", "0") == "1"
+    # BENCH_COMPILE_ONLY=1: lower+compile the headline decode graph and exit
+    # without executing — the sweep's pre-probe (VERDICT r4 #8). A Mosaic
+    # rejection of a new kernel config then costs seconds of XLA time, not a
+    # timed row's full timeout (PERF_SWEEP.jsonl rows 5-8 burned ~1 h of the
+    # r4 recovery window on a known-broken config).
+    compile_only = os.environ.get("BENCH_COMPILE_ONLY", "0") == "1"
     peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "197")) * 1e12
 
     t = int(WINDOW_SECS * SR)
@@ -192,7 +198,7 @@ def main():
     extras["bf16_params"] = extras_bf16
     if tiny:
         extras["tiny_arch"] = True  # debug smoke — numbers are meaningless
-    if use_fused:
+    if use_fused and not compile_only:
         # On-silicon numerics gate (VERDICT r3 #3): throughput alone must not
         # flip the fused default — a Mosaic miscompile would be silent in a
         # timing-only sweep. Three fused decode steps vs the flax path at
@@ -285,6 +291,16 @@ def main():
 
     # ---- 1. headline: greedy window-batched --------------------------------
     decode1 = make_decode(beam)
+    if compile_only:
+        t0 = time.perf_counter()
+        decode1.lower(variables, audio, audio_lens).compile()
+        print(json.dumps({
+            "metric": "compile_only", "ok": True,
+            "compile_secs": round(time.perf_counter() - t0, 1),
+            "batch": batch, "fused": int(use_fused),
+            "fused_block": fused_block, "kv8": int(fused_kv8),
+            "w8": int(fused_w8)}))
+        return
     per_batch = _timed(lambda: decode1(variables, audio, audio_lens),
                        lambda o: o["tokens"], iters)
     audio_secs = batch * WINDOW_SECS

@@ -32,6 +32,21 @@ def run_one(batch: int, fused: int, blk: int, kv8: int, w8: int,
           file=sys.stderr, flush=True)
     base = {"batch": batch, "fused": fused, "fused_block": blk,
             "kv8": kv8, "w8": w8}
+    # Compile-only pre-probe (VERDICT r4 #8): a Mosaic rejection of a new
+    # kernel config costs one XLA compile, not the timed row's full timeout.
+    if fused:
+        pp = subprocess.run(
+            [sys.executable, "bench.py"], cwd=ROOT,
+            env={**env, "BENCH_COMPILE_ONLY": "1"},
+            capture_output=True, text=True, timeout=timeout_s)
+        if pp.returncode != 0 or '"ok": true' not in pp.stdout.lower():
+            sys.stderr.write((pp.stderr or "")[-2000:] + "\n")
+            row = {**base, "error": "compile probe failed"}
+            with open(out, "a") as f:
+                f.write(json.dumps(row) + "\n")
+            return row
+        print(f"    compile probe ok: {pp.stdout.strip().splitlines()[-1]}",
+              file=sys.stderr, flush=True)
     try:
         p = subprocess.run([sys.executable, "bench.py"], cwd=ROOT, env=env,
                            capture_output=True, text=True, timeout=timeout_s)

@@ -26,6 +26,17 @@ FUSED_BLOCKS=${SWEEP_FUSED_BLOCKS:-"4 8"}
 run_one() {  # batch fused block kv8 w8
   local b=$1 fused=$2 blk=$3 kv8=${4:-0} w8=${5:-0}
   echo "--- batch=$b fused=$fused block=$blk kv8=$kv8 w8=$w8" >&2
+  # Compile-only pre-probe (VERDICT r4 #8): a Mosaic rejection of a new
+  # fused config costs one XLA compile, not a timed row's 900 s timeout.
+  if [ "$fused" = 1 ]; then
+    if ! BENCH_BATCH=$b BENCH_FUSED=1 BENCH_FUSED_BLOCK=$blk \
+         BENCH_FUSED_KV8=$kv8 BENCH_FUSED_W8=$w8 BENCH_COMPILE_ONLY=1 \
+         timeout 600 python bench.py >/dev/null; then
+      echo "    compile probe FAILED; skipping timed row" >&2
+      echo "{\"batch\": $b, \"fused\": $fused, \"fused_block\": $blk, \"kv8\": $kv8, \"w8\": $w8, \"error\": \"compile probe failed\"}" >> "$OUT"
+      return
+    fi
+  fi
   local line
   line=$(BENCH_BATCH=$b BENCH_FUSED=$fused BENCH_FUSED_BLOCK=$blk \
          BENCH_FUSED_KV8=$kv8 BENCH_FUSED_W8=$w8 \
