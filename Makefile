@@ -31,6 +31,16 @@ test-smoke: native
 	python -m pytest tests/test_eval.py tests/test_wder_search.py \
 	    tests/test_tokenizer.py tests/test_spm_import.py tests/test_misc.py -q
 
+# Chain-aware lane (VERDICT r4 #9): stays green in <5 min even while a live
+# training chain owns the single host core (the full fast tier needs an idle
+# box). Host-dominant modules only; measured 118 tests / ~95 s under load.
+test-light: native
+	JAX_PLATFORMS=cpu python -m pytest -q -m "not slow" \
+	    tests/test_eval.py tests/test_wder_search.py tests/test_tokenizer.py \
+	    tests/test_spm_import.py tests/test_misc.py tests/test_flops.py \
+	    tests/test_checkpoint.py tests/test_chain_ops.py \
+	    tests/test_chain_flow.py tests/test_optimizers.py tests/test_data.py
+
 # Self-contained accuracy loop: synthetic-speech corpus -> train on the
 # available accelerator -> unaligned decode -> WER/WDER through the real CLI
 # chain. Tune scale with ACC_EPISODES / ACC_STEPS. See scripts/accuracy.sh.
