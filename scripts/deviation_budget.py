@@ -46,6 +46,13 @@ def main():
     ap.add_argument("--episodes", type=int, default=2)
     ap.add_argument("--episode-secs", type=float, default=120.0)
     ap.add_argument("--seed", type=int, default=777)
+    ap.add_argument("--cap", type=int, default=0,
+                    help="history cap override (0 = the real 512 "
+                         "max_positions). The trained model emits ~1-2 tok/s "
+                         "on synthetic episodes, so the 512 cap never binds "
+                         "in a 120 s episode and agreement is trivially 1.0; "
+                         "a reduced cap forces the eviction mechanism to "
+                         "actually fire at production model scale.")
     args = ap.parse_args()
 
     tok = BpeTokenizer(model_path=os.path.join(args.acc_dir, "bpe.model"))
@@ -67,7 +74,7 @@ def main():
     def make_spec(evict):
         return UnalignedSpec(
             eos_id=tok.eos_token_id, chunk_size=357,
-            max_positions=cfg.max_positions,          # the real 512 cap
+            max_positions=args.cap or cfg.max_positions,  # real 512 default
             max_tokens=4096, max_iters=20000, max_outer=2048,
             history_evict_block=evict,
         )
@@ -102,8 +109,8 @@ def main():
     agrees = [token_agreement(f, r)
               for f, r in zip(results[64], results[1])]
     print(f"\n[deviation B @ production scale] evict-block 64 vs 1 under the "
-          f"512 cap, trained model, {args.episodes}x{args.episode_secs:.0f}s "
-          f"episodes:")
+          f"{args.cap or cfg.max_positions} cap, trained model, "
+          f"{args.episodes}x{args.episode_secs:.0f}s episodes:")
     print(f"  token agreement per episode: {np.round(agrees, 4).tolist()}")
     print(f"  mean agreement: {float(np.mean(agrees)):.4f}")
     print(f"  wall: evict64 {walls[64]:.1f}s vs evict1 {walls[1]:.1f}s "
