@@ -39,6 +39,7 @@ def main():
     ap.add_argument("--speakers", type=int, default=8)
     ap.add_argument("--batches", type=int, default=3)
     ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--enc-posenc", action="store_true", default=False)
     args = ap.parse_args()
 
     d = args.acc_dir
@@ -51,7 +52,7 @@ def main():
         tiny = dict(tds_depths=(1, 1, 1), width_mult=0.1,
                     d_decoder_override=64)
     mcfg = ModelConfig(model_type="1x", num_speakers=args.speakers,
-                       vocab_size=len(tok), **tiny)
+                       vocab_size=len(tok), enc_posenc=args.enc_posenc, **tiny)
     sys_ = ASRSystem(mcfg, TrainConfig(), specaug_cfg=SpecAugmentConfig(
         num_freq_masks=0, num_time_masks=0))
     params = load_pytree(args.ckpt)

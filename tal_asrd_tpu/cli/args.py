@@ -53,6 +53,11 @@ def get_argparser(is_train: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--shiftaug", action="store_true", default=False)
     p.add_argument("--alignaug", action="store_true", default=False)
     p.add_argument("--spk-weight", type=float, default=0)
+    p.add_argument("--enc-posenc", action="store_true", default=False,
+                   help="ReZero-gated sinusoidal positional code on the "
+                        "decode-side memory (core/config.py enc_posenc). "
+                        "Must match between train and eval legs; gate init 0 "
+                        "keeps posenc-free checkpoints loadable+identical")
     p.add_argument("--val-check-interval", type=int, default=None)
     p.add_argument("--lm-weight", type=float, default=0)
     p.add_argument("--smoothing", type=float, default=0)
@@ -79,10 +84,13 @@ def get_argparser(is_train: bool = False) -> argparse.ArgumentParser:
         p.add_argument("--cache-items", action="store_true", default=False,
                        help="cache decoded dataset items in RAM (small "
                             "corpora; removes the host IO bottleneck)")
-        p.add_argument("--num-utterances", type=int, default=1,
+        p.add_argument("--num-utterances", type=str, default="1",
                        help="consecutive utterances per aligned item (N>1 "
                             "teaches EOS-continuation with exact alignment — "
-                            "the bridge phase to shiftaug windows)")
+                            "the bridge phase to shiftaug windows). A comma "
+                            "list ('1,4') concatenates one aligned dataset "
+                            "per value — the anti-forgetting mix (short task "
+                            "stays in-distribution while continuation trains)")
         p.add_argument("--no-restore-step", action="store_true", default=False,
                        help="do NOT restore the step counter when --load "
                             "points at this run's own checkpoint dir (same-"
@@ -140,6 +148,7 @@ def build_configs(args, tokenizer=None):
         model_type=args.model_type,
         num_speakers=args.num_speakers,
         use_speaker_head=args.spk_weight > 0,
+        enc_posenc=getattr(args, "enc_posenc", False),
         **({"vocab_size": len(tokenizer)} if tokenizer is not None else {}),
         **tiny,
     )

@@ -56,16 +56,20 @@ class ConcatDataset:
 
 def build_datasets(args, tokenizer):
     tokenizer_speakers = args.num_speakers > 0 and args.spk_weight == 0
-    n_utt = getattr(args, "num_utterances", 1)
+    # Comma list -> one aligned dataset per utterance count (the
+    # anti-forgetting mix: '1,4' keeps the short task in-distribution while
+    # the 4-utterance windows teach EOS-continuation).
+    n_utts = [int(v) for v in str(getattr(args, "num_utterances", 1)).split(",")]
     train_parts = []
     for p in args.train_data:
-        train_parts.append(AlignedDataset(
-            p, tokenizer, num_utterances=n_utt,
-            max_segment_duration=args.max_secs,
-            speaker_map_loc=os.path.join(p, "speaker_map.json"),
-            tokenizer_speakers=tokenizer_speakers, return_spk_ids=True,
-            cache_items=getattr(args, "cache_items", False),
-        ))
+        for n_utt in n_utts:
+            train_parts.append(AlignedDataset(
+                p, tokenizer, num_utterances=n_utt,
+                max_segment_duration=args.max_secs,
+                speaker_map_loc=os.path.join(p, "speaker_map.json"),
+                tokenizer_speakers=tokenizer_speakers, return_spk_ids=True,
+                cache_items=getattr(args, "cache_items", False),
+            ))
         if args.shiftaug or args.alignaug:
             train_parts.append(SegmentDataset(
                 p, tokenizer, segment_size=args.max_secs,
@@ -83,6 +87,7 @@ def build_datasets(args, tokenizer):
             cache_items=getattr(args, "cache_items", False),
         )
         for p in args.valid_data
+        for n_utt in n_utts
     ]
     if args.shiftaug or args.alignaug:
         # Validate on the TARGET distribution too: without this, val_loss only

@@ -122,6 +122,12 @@ def load_params_partial(
         cv = flat_c.get(ps)
         if cv is not None and expand_embeddings_to and ps.endswith("embedding/embedding"):
             cv = expand_speaker_embeddings(np.asarray(cv), expand_embeddings_to)
+        if cv is None and ps.endswith("mem_pos_alpha"):
+            # enc_posenc gate absent from a posenc-free checkpoint: keep the
+            # zero init — the gated model is then bit-identical to the donor
+            # (the backward-compat contract of core/config.py enc_posenc).
+            out[p] = tv
+            continue
         if cv is None or tuple(np.shape(cv)) != tuple(np.shape(tv)):
             if strict and cv is None:
                 raise KeyError(f"Missing checkpoint param {ps}")

@@ -80,6 +80,18 @@ class ModelConfig:
     # 'batch_max' (exact reference parity, models.py:177-187) — see
     # encoder_padding_mask and tests/test_deviations.py.
     pad_mask_mode: str = "buffer"
+    # ReZero-gated sinusoidal positional encoding on the DECODE-SIDE memory
+    # (deviation from the reference, which leaves the TDS memory position-
+    # free, tal/asr/models.py:195-247). The gate (`mem_pos_alpha`, init 0)
+    # keeps old checkpoints bit-identical at load; training learns the scale.
+    # Motivation (measured, scripts/diag_ce_by_utt.py + diag_attn.py):
+    # content-only cross-attention cannot sharpen onto continuation
+    # utterances in a long window — CE of utterances 2..4 pinned at the
+    # unigram floor after 8k bridge steps while attention centroids wander
+    # 10-30 frames. A positional channel in the memory keys makes monotonic
+    # progression expressible. Positions are RELATIVE to the decode window
+    # (applied after slicing), matching training windows.
+    enc_posenc: bool = False
     # Debug-only architecture shrink (CPU smokes of the full CLI chain on the
     # 1-core box; see scripts/smoke_accuracy.sh). width_mult scales the TDS
     # group widths (10/14/18 per-mel channels), d_decoder_override replaces

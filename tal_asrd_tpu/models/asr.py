@@ -27,7 +27,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from tal_asrd_tpu.core.config import FrontendConfig, ModelConfig, SpecAugmentConfig
-from tal_asrd_tpu.models.decoder import PositionalEncoding, RZDecoder
+from tal_asrd_tpu.models.decoder import (
+    PositionalEncoding,
+    RZDecoder,
+    sinusoidal_positions,
+)
 from tal_asrd_tpu.models.tds import TDS
 from tal_asrd_tpu.ops.logmel import log_mel_spectrogram
 from tal_asrd_tpu.ops.specaug import spec_augment
@@ -104,6 +108,10 @@ class ASRModel(nn.Module):
                 jnp.float32,
             )
         self.pos_dec = PositionalEncoding(d, c.max_positions, c.dropout, self.dtype)
+        if c.enc_posenc:
+            # Gate for the memory positional code (core/config.py enc_posenc).
+            self.mem_pos_alpha = self.param(
+                "mem_pos_alpha", nn.initializers.zeros, (), jnp.float32)
         self.decoder = RZDecoder(
             n_layers=c.n_decoder_layers,
             d_model=d,
@@ -168,6 +176,19 @@ class ASRModel(nn.Module):
     # ------------------------------------------------------------------
     # Decoder side
     # ------------------------------------------------------------------
+    def add_mem_posenc(self, mem: jax.Array) -> jax.Array:
+        """Gated positional code on decode-side memory (enc_posenc).
+
+        Applied at every point where memory enters cross-attention K/V —
+        decode(), decode_spk(), init_decode_state(), precompute_mem_kvs() —
+        AFTER any window slicing, so positions are window-relative. The table
+        is sized to the actual memory length (constant-folded under jit)."""
+        if not self.cfg.enc_posenc:
+            return mem
+        pe = jnp.asarray(
+            sinusoidal_positions(mem.shape[1], mem.shape[-1]), self.dtype)
+        return mem + self.mem_pos_alpha.astype(self.dtype) * pe[None]
+
     def embed_tokens(self, y: jax.Array) -> jax.Array:
         e = self.embedding(y)
         if self.cfg.embed_size:
@@ -197,6 +218,7 @@ class ASRModel(nn.Module):
         decoding exclude padded future positions (decode/reference_mode.py).
         """
         mem = self.enc_drop(encoder_out["encoder_out"], deterministic=not train)
+        mem = self.add_mem_posenc(mem)
         y = self.embed_tokens(y_prev)
         y = self.pos_dec(y, train=train)
         h, attn, _ = self.decoder(
@@ -218,6 +240,7 @@ class ASRModel(nn.Module):
     ) -> jax.Array:
         """Speaker head decode -> per-token speaker logits (models.py:249-289)."""
         mem = self.enc_drop(encoder_out["speaker_out"], deterministic=not train)
+        mem = self.add_mem_posenc(mem)
         y = self.embed_tokens(y_prev)
         y = self.pos_dec(y, train=train)
         h, _, _ = self.spk_decoder(
@@ -250,14 +273,15 @@ class ASRModel(nn.Module):
         """Build decode state: per-layer cross-attn K/V (one-time) + empty
         self-attn caches + step index."""
         state = {
-            "mem_kvs": self.decoder.precompute_mem_kvs(encoder_out["encoder_out"]),
+            "mem_kvs": self.decoder.precompute_mem_kvs(
+                self.add_mem_posenc(encoder_out["encoder_out"])),
             "caches": self.decoder.init_cache(batch, max_len),
             "index": jnp.zeros((), jnp.int32),
             "mask": encoder_out["encoder_padding_mask"],
         }
         if self.cfg.use_speaker_head:
             state["spk_mem_kvs"] = self.spk_decoder.precompute_mem_kvs(
-                encoder_out["speaker_out"]
+                self.add_mem_posenc(encoder_out["speaker_out"])
             )
             state["spk_caches"] = self.spk_decoder.init_cache(batch, max_len)
         return state
@@ -305,8 +329,11 @@ class ASRModel(nn.Module):
     # Window-based decoding helpers (unaligned long-form decoder)
     # ------------------------------------------------------------------
     def precompute_mem_kvs(self, memory: jax.Array):
-        """Cross-attention K/V for an encoder window (one-time per window)."""
-        return self.decoder.precompute_mem_kvs(memory)
+        """Cross-attention K/V for an encoder window (one-time per window).
+
+        Callers pass the ALREADY-SLICED window memory, so the enc_posenc
+        positional code lands window-relative here (matching training)."""
+        return self.decoder.precompute_mem_kvs(self.add_mem_posenc(memory))
 
     def decode_prefill(
         self,

@@ -204,3 +204,54 @@ def test_dropout_only_in_train_mode():
         rngs={"dropout": jax.random.PRNGKey(3), "specaug": jax.random.PRNGKey(4)},
     )
     assert not np.allclose(np.asarray(c[0]), np.asarray(d[0]))
+
+
+def test_enc_posenc_gate_contract():
+    """enc_posenc (core/config.py): a posenc-free checkpoint loaded into the
+    gated model (alpha missing -> kept at zero init, core/checkpoint.py
+    load_params_partial) is bit-identical; a non-zero gate changes logits.
+    Motivated by the r5 continuation diagnosis (scripts/diag_ce_by_utt.py)."""
+    from tal_asrd_tpu.core.checkpoint import load_params_partial
+
+    model0, params0, _ = make_model()
+    # Wake the ReZero gates: at init the decoder residuals are zero and
+    # cross-attention (hence the memory posenc) cannot influence logits.
+    params0 = jax.tree_util.tree_map(
+        lambda a: a + 0.4 if a.ndim == 0 else a, params0
+    )
+    cfg1 = ModelConfig(**{**TINY.__dict__, "enc_posenc": True})
+    model1 = ASRModel(cfg1, TINY_FRONTEND)
+    audio = jax.random.normal(jax.random.PRNGKey(3), (2, 12800))
+    y = jnp.ones((2, 10), jnp.int32)
+    lens = jnp.array([12800, 9600])
+    p1 = model1.init(jax.random.PRNGKey(0), audio, y, lens)["params"]
+    assert "mem_pos_alpha" in p1
+    p1 = load_params_partial(p1, params0["params"], strict=True)
+    assert float(p1["mem_pos_alpha"]) == 0.0
+
+    # Memory must be non-empty or the contract test is vacuous (the tiny
+    # frontend yields ~13 frames here).
+    enc = model1.apply({"params": p1}, audio, lens, train=False,
+                       method=ASRModel.encode)
+    assert enc["encoder_out"].shape[1] > 0
+
+    (l0, _), _ = model0.apply(params0, audio, y, lens, train=False)
+    (l1, _), _ = model1.apply({"params": p1}, audio, y, lens, train=False)
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l1), atol=0)
+
+    p1["mem_pos_alpha"] = jnp.asarray(0.5)
+    (l2, _), _ = model1.apply({"params": p1}, audio, y, lens, train=False)
+    assert not np.allclose(np.asarray(l0), np.asarray(l2))
+
+    # KV-cached incremental path sees the same gated memory (decode_step
+    # consumes init_decode_state's precomputed mem KV).
+    st = model1.apply({"params": p1}, enc, 2, 8,
+                      method=ASRModel.init_decode_state)
+    lg, _, _, _ = model1.apply({"params": p1}, y[:, :1], st,
+                               method=ASRModel.decode_step)
+    p1["mem_pos_alpha"] = jnp.asarray(0.0)
+    st0 = model1.apply({"params": p1}, enc, 2, 8,
+                       method=ASRModel.init_decode_state)
+    lg0, _, _, _ = model1.apply({"params": p1}, y[:, :1], st0,
+                                method=ASRModel.decode_step)
+    assert not np.allclose(np.asarray(lg), np.asarray(lg0))
