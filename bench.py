@@ -434,10 +434,15 @@ def main():
             from tal_asrd_tpu.text import BpeTokenizer
 
             tok = BpeTokenizer(model_path=bpe)
-            emb_rows = load_pytree(trained)["embedding"]["embedding"]
+            tparams = load_pytree(trained)
+            emb_rows = tparams["embedding"]["embedding"]
             n_spk = int(np.asarray(emb_rows).shape[0]) - len(tok)
+            # Architecture flags are inferred from the checkpoint itself so
+            # the bench leg always matches how the chain trained it
+            # (mem_pos_alpha present <=> enc_posenc, core/config.py).
             tcfg = ModelConfig(model_type="1x", num_speakers=n_spk,
-                               vocab_size=len(tok))
+                               vocab_size=len(tok),
+                               enc_posenc="mem_pos_alpha" in tparams)
             tmodel = ASRModel(tcfg, dtype=jnp.bfloat16)
             with tempfile.TemporaryDirectory() as td:
                 build_synth_corpus(td, n_episodes=episodes,
@@ -449,7 +454,7 @@ def main():
             ep_len = min(len(e) for e in eps)
             ta = jnp.asarray(np.stack([e[:ep_len] for e in eps]))
             tl = jnp.full((episodes,), ep_len, jnp.int32)
-            tvars = {"params": load_pytree(trained)}
+            tvars = {"params": tparams}
             if extras_bf16:
                 tvars = jax.tree_util.tree_map(
                     lambda a: a.astype(jnp.bfloat16)

@@ -32,6 +32,9 @@ LR=${ACC_LR:-4e-4}
 LOAD=${ACC_LOAD:-}   # optional warm-start params checkpoint (strict partial)
 WARM=${ACC_WARM:-}   # optional warm start w/ speaker-embedding expansion
 CKPT_EVERY=${ACC_CKPT_EVERY:-5}   # epoch-ckpt I/O dominates small-corpus epochs
+# Extra flags for the decode test legs (e.g. --enc-posenc: architecture flags
+# must match how the checkpoint was trained; cli.test shares the parser).
+TEST_FLAGS=${ACC_TEST_FLAGS:-}
 EP_SECS=${ACC_EPISODE_SECS:-120}  # train/valid episode length
 TEST_SECS=${ACC_TEST_SECS:-180}   # test episode length (must exceed the
                                   # 28.5 s unaligned window)
@@ -148,7 +151,7 @@ if ! fresh "$DIR/out-test-aligned/test_result.pkl"; then
   python -m tal_asrd_tpu.cli.test \
       --train-data "$DIR/train" --valid-data "$DIR/valid" --test-data "$DIR/test" \
       --tokenizer "$DIR/bpe.model" --model-type 1x --num-speakers "$SPEAKERS" \
-      --num-workers 0 --load "$DIR/avg_last_3.msgpack" \
+      --num-workers 0 --load "$DIR/avg_last_3.msgpack" $TEST_FLAGS \
       --out-dir "$DIR/out-test-aligned"
 fi
 
@@ -164,7 +167,7 @@ if ! fresh "$DIR/out-test/test_result.pkl"; then
   python -m tal_asrd_tpu.cli.test \
       --train-data "$DIR/train" --valid-data "$DIR/valid" --test-data "$DIR/test" \
       --tokenizer "$DIR/bpe.model" --model-type 1x --num-speakers "$SPEAKERS" \
-      --num-workers 0 --unaligned --load "$DIR/avg_last_3.msgpack" \
+      --num-workers 0 --unaligned --load "$DIR/avg_last_3.msgpack" $TEST_FLAGS \
       --out-dir "$DIR/out-test"
 fi
 

@@ -29,7 +29,7 @@ if [ ! -f "$DIR/spk.train.pkl" ]; then
   python -m tal_asrd_tpu.cli.gen_embed \
       --train-data "$DIR/train" --valid-data "$DIR/valid" \
       --tokenizer "$DIR/bpe.model" --model-type 1x --num-speakers "$SPEAKERS" \
-      --num-workers 0 --load "$DIR/avg_last_3.msgpack" \
+      --num-workers 0 --load "$DIR/avg_last_3.msgpack" ${ACC_TEST_FLAGS:-} \
       --out-path "$DIR/spk"
 fi
 

@@ -65,19 +65,21 @@ def build(batch, dtype):
 
 
 def time_arm(fn, args, steps, iters, label):
+    import numpy as np
+
     lowered = jax.jit(fn).lower(*args)
     t0 = time.perf_counter()
     compiled = lowered.compile()
     compile_s = time.perf_counter() - t0
     print(f"{label}: compile ok in {compile_s:.1f}s", file=sys.stderr,
           flush=True)
-    out = compiled(*args)
-    jax.block_until_ready(out)
+    # Fence with a host fetch: block_until_ready does not reliably fence the
+    # axon tunnel (same workaround as bench.py:54).
+    np.asarray(compiled(*args))
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = compiled(*args)
-        jax.block_until_ready(out)
+        np.asarray(compiled(*args))
         best = min(best, time.perf_counter() - t0)
     return {"label": label, "compile_secs": round(compile_s, 1),
             "wall_secs": round(best, 4),
@@ -103,8 +105,10 @@ def main():
     mks = [kv["k"] for kv in mem_kvs]
     mvs = [kv["v"] for kv in mem_kvs]
 
-    def chain_decode(x0, *mem):
-        mks, mvs = mem[:L], mem[L:]
+    # Weights/bias must be ARGUMENTS, not closure constants: closed-over
+    # arrays bake into the HLO as literals (~28 MB of weight constants) and
+    # stall XLA constant processing for many minutes.
+    def chain_decode(x0, packed, bias, mks, mvs):
         cks = [jnp.zeros((b, CAP, D), dtype) for _ in range(L)]
         cvs = [jnp.zeros((b, CAP, D), dtype) for _ in range(L)]
 
@@ -124,8 +128,9 @@ def main():
         return x
 
     rows = []
-    rows.append(time_arm(chain_decode, (x0, *mks, *mvs), steps, args.iters,
-                         f"chain_bf16_block{blk}"))
+    rows.append(time_arm(chain_decode,
+                         (x0, packed, bias, tuple(mks), tuple(mvs)),
+                         steps, args.iters, f"chain_bf16_block{blk}"))
 
     # --- arm 2: stacked kernel, w8+kv8, block 8 (the VMEM-fitting config) ---
     stacked = pack_decoder_stacked(decoder_params, L, dtype=dtype, w8=True)
@@ -135,7 +140,7 @@ def main():
     mv = jnp.stack([q[2] for q in qs])
     vs = jnp.stack([q[3] for q in qs])
 
-    def stacked_decode(x0, mk, mv):
+    def stacked_decode(x0, stacked, bias, ks, vs, mk, mv):
         ck = jnp.zeros((L, b, CAP, D), dtype)
         cv = jnp.zeros((L, b, CAP, D), dtype)
 
@@ -151,11 +156,13 @@ def main():
         return x
 
     try:
-        rows.append(time_arm(stacked_decode, (x0, mk, mv), steps, args.iters,
+        rows.append(time_arm(stacked_decode,
+                             (x0, stacked, bias, ks, vs, mk, mv),
+                             steps, args.iters,
                              f"stacked_w8kv8_block{blk}"))
     except Exception as e:
         rows.append({"label": f"stacked_w8kv8_block{blk}",
-                     "error": f"{type(e).__name__}: {e}"[:500]})
+                     "error": f"{type(e).__name__}: {e}"[:4000]})
 
     for r in rows:
         print(json.dumps(r))

@@ -50,6 +50,21 @@ def get_argparser(is_train: bool = False) -> argparse.ArgumentParser:
                    help="decode up to N equal-length episodes in lockstep "
                         "through the vmapped state machine (bit-identical "
                         "per lane; ~Nx less wall time); 1 = sequential")
+    # Unaligned state-machine knobs (DecodeConfig defaults = the reference's
+    # constants, asr/args.py:25). Sweepable via scripts/unaligned_sweep.py.
+    p.add_argument("--thresh-prct", type=float, default=None)
+    p.add_argument("--shift-prct", type=float, default=None)
+    p.add_argument("--stall-patience", type=int, default=None)
+    p.add_argument("--skip-prct", type=float, default=None)
+    p.add_argument("--evict-block", type=int, default=None,
+                   help="history-cap eviction block (1 = reference slide-by-1)")
+    p.add_argument("--eos-advance", action="store_true", default=False,
+                   help="EXTENSION: emitted EOS advances the window to the "
+                        "attention centroid and re-primes history (see "
+                        "decode/unaligned.py UnalignedSpec.eos_advance)")
+    p.add_argument("--stall-rollback", action="store_true", default=False,
+                   help="EXTENSION: stall resets also roll back the "
+                        "unanchored tokens emitted since last progress")
     p.add_argument("--shiftaug", action="store_true", default=False)
     p.add_argument("--alignaug", action="store_true", default=False)
     p.add_argument("--spk-weight", type=float, default=0)
@@ -164,6 +179,18 @@ def build_configs(args, tokenizer=None):
         lm_weight=args.lm_weight,
         max_secs=args.max_secs,
     )
+    dc_over = {
+        k: v for k, v in (
+            ("thresh_prct", getattr(args, "thresh_prct", None)),
+            ("shift_prct", getattr(args, "shift_prct", None)),
+            ("stall_patience", getattr(args, "stall_patience", None)),
+            ("skip_prct", getattr(args, "skip_prct", None)),
+            ("history_evict_block", getattr(args, "evict_block", None)),
+        ) if v is not None
+    }
     decode_cfg = DecodeConfig(beam_size=args.beam_size, lm_weight=args.lm_weight,
-                              use_fused_decode=getattr(args, "fused_decode", False))
+                              use_fused_decode=getattr(args, "fused_decode", False),
+                              eos_advance=getattr(args, "eos_advance", False),
+                              stall_rollback=getattr(args, "stall_rollback", False),
+                              **dc_over)
     return model_cfg, train_cfg, decode_cfg

@@ -213,6 +213,12 @@ class DecodeConfig:
     rep_n: int = 5
     skip_prct: float = 0.1
     max_iters: int = 20000
+    history_evict_block: int = 64
+    # Opt-in extensions to the state machine (decode/unaligned.py:
+    # UnalignedSpec.eos_advance / stall_rollback); defaults reproduce the
+    # reference loop.
+    eos_advance: bool = False
+    stall_rollback: bool = False
     # Parity switch: the reference decodes with causal_mask=False (bidirectional
     # prefix re-encode per step, system.py:113-114). 'causal' enables KV-cached
     # causal decoding (matches training-time masking; much faster on TPU);

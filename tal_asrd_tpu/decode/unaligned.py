@@ -75,6 +75,22 @@ class UnalignedSpec:
     # clamped to text_vocab_size - 1, system.py:370-371).
     lm_weight: float = 0.0
     text_vocab_size: Optional[int] = None
+    # --- Extensions beyond the reference (both default OFF = parity) -------
+    # eos_advance: treat an emitted EOS as a window event — advance the
+    # window by the current attention centroid (floored at skip_prct) and
+    # make the just-emitted EOS the new history prime. The reference has no
+    # EOS handling in this loop; its stall detector needs `stall_patience`
+    # garbage tokens to notice an utterance boundary, all of which stay in
+    # the transcript (only n-gram repeats are rolled back). For models whose
+    # continuation quality collapses at utterance boundaries this removes
+    # that garbage tail entirely. Terminates when the window can no longer
+    # advance (mirrors "reset inside the last window terminates").
+    eos_advance: bool = False
+    # stall_rollback: on a stall reset, also roll back the `no_improve`
+    # tokens emitted since the last attention progress (the reference rolls
+    # back only on n-gram repetition, system.py:438-456) — those tokens were
+    # produced while the attention centroid was stuck, i.e. unanchored.
+    stall_rollback: bool = False
 
 
 def unaligned_decode(
@@ -271,15 +287,35 @@ def unaligned_decode(
             rep = ngram_repeat_mask(hist_now, spec.rep_n, valid_now.reshape(1))
             repeating = jnp.sum(rep) > 2 * spec.rep_n
 
-            reset = stalling | repeating
-            do_shift = (~reset) & (prct > spec.thresh_prct) & ~is_last
-            do_reset = reset & ~is_last
-            done = ic["done"] | (reset & is_last)
+            # -- EOS-gated window advance (extension; off by default) --
+            if spec.eos_advance:
+                eos_fire = next_tok == spec.eos_id
+            else:
+                eos_fire = jnp.zeros((), bool)
+            at_end = ic["chunk_start"] >= last_chunk_start
+            eos_go = eos_fire & ~at_end
+            eos_adv = jnp.maximum(
+                (prct * chunk).astype(jnp.int32), skip_amt
+            )
 
-            # -- Reset: skip ahead, roll back repeats, history -> EOS --
+            reset = (stalling | repeating) & ~eos_fire
+            do_shift = (
+                (~reset) & ~eos_fire & (prct > spec.thresh_prct) & ~is_last
+            )
+            do_reset = reset & ~is_last
+            done = ic["done"] | (reset & is_last) | (eos_fire & at_end)
+
+            # -- Reset: skip ahead, roll back repeats (and, with the
+            #    stall_rollback extension, the unanchored stall tokens),
+            #    history -> EOS --
+            rollback_amt = jnp.where(repeating, rollback, 0)
+            if spec.stall_rollback:
+                rollback_amt = jnp.maximum(
+                    rollback_amt, jnp.where(stalling, no_improve, 0)
+                )
             gen_len_r = jnp.where(
-                do_reset & repeating,
-                jnp.maximum(gen_len - rollback, 1),
+                do_reset,
+                jnp.maximum(gen_len - rollback_amt, 1),
                 gen_len,
             )
             gen = jnp.where(
@@ -292,10 +328,12 @@ def unaligned_decode(
             gen_len = gen_len_r
             chunk_start = ic["chunk_start"] + jnp.where(
                 do_reset, skip_amt, 0
-            ) + jnp.where(do_shift, shift_amt, 0)
+            ) + jnp.where(do_shift, shift_amt, 0) + jnp.where(
+                eos_go, eos_adv, 0
+            )
             history_size = gen_len - ic["history_start"]
             history_start = jnp.where(
-                do_reset,
+                do_reset | eos_go,
                 gen_len - 1,
                 ic["history_start"]
                 + jnp.where(
@@ -304,8 +342,9 @@ def unaligned_decode(
                     0,
                 ),
             )
-            highest = jnp.where(do_reset | do_shift, 0.0, highest)
-            window_time = jnp.where(do_reset | do_shift, 0, ic["window_time"] + 1)
+            highest = jnp.where(do_reset | do_shift | eos_go, 0.0, highest)
+            window_time = jnp.where(do_reset | do_shift | eos_go, 0,
+                                    ic["window_time"] + 1)
 
             # -- Bounds (system.py:478-488) --
             chunk_start = jnp.minimum(chunk_start, last_chunk_start)
@@ -318,7 +357,7 @@ def unaligned_decode(
                 jnp.minimum(history_start + spec.history_evict_block, gen_len - 1),
                 history_start,
             )
-            event = do_reset | do_shift | hit_cap
+            event = do_reset | do_shift | hit_cap | eos_go
 
             # -- Next decode step (used only if no event fired) --
             state = {

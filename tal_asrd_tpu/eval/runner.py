@@ -180,6 +180,9 @@ class EvalRunner:
             stall_patience=self.cfg.stall_patience,
             rep_n=self.cfg.rep_n,
             skip_prct=self.cfg.skip_prct,
+            history_evict_block=self.cfg.history_evict_block,
+            eos_advance=self.cfg.eos_advance,
+            stall_rollback=self.cfg.stall_rollback,
             lm_weight=self.cfg.lm_weight if self.lm is not None else 0.0,
             text_vocab_size=len(self.tokenizer),
         )

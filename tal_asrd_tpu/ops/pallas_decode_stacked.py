@@ -81,7 +81,7 @@ def _stacked_step_kernel(
     wco_ref, bco_ref,
     wf1_ref, bf1_ref,
     wf2_ref, bf2_ref,
-    rw_ref,                     # SMEM [1, 2] f32
+    rw_ref,                     # SMEM [L, 2] f32 (whole array; indexed by il)
     ck_in_ref, cv_in_ref,       # [1, blk, cap, D] (aliased)
     memk_ref, memv_ref,         # [1, blk, S, D] (bf16/f32 or int8)
     membias_ref,                # [blk, S] f32
@@ -146,8 +146,8 @@ def _stacked_step_kernel(
     sa = jnp.dot(sa.astype(x.dtype), wso_ref[0].astype(x.dtype),
                  preferred_element_type=f32)
     sa = sa * sso_ref[0, 0][None, :] + bso_ref[0, 0][None, :]
-    rw = rw_ref[0, 0]
-    rw_src = rw_ref[0, 1]
+    rw = rw_ref[il, 0]
+    rw_src = rw_ref[il, 1]
     x1 = x.astype(f32) + sa * rw
 
     # ---- cross-attention over the per-layer window K/V -------------------
@@ -264,7 +264,10 @@ def stacked_decoder_step(
         + [layer_3d(a) for pair in zip(
             (stacked[k] for k in _W_KEYS),
             (biases[k] for k in _B_KEYS)) for a in pair]
-        + [pl.BlockSpec((1, 2), lambda jb, il, *_: (il, 0),
+        # rw rides whole in SMEM (block == array shape): a (1, 2) layer slice
+        # violates Mosaic's (8, 128)-divisibility rule on real TPUs (the
+        # silicon wall of 2026-08-19); the kernel indexes rw_ref[il] instead.
+        + [pl.BlockSpec(stacked["rw"].shape, lambda jb, il, *_: (0, 0),
                         memory_space=pltpu.SMEM)]                   # rw
         + [lane_4d(cache_k), lane_4d(cache_v)]
         + [lane_4d(mem_k), lane_4d(mem_v)]

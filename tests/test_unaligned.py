@@ -107,6 +107,59 @@ def test_unaligned_jits(setup):
 
 
 # ---------------------------------------------------------------------------
+# Extensions: eos_advance / stall_rollback (UnalignedSpec docstring; both
+# default OFF = reference parity, covered by every test above)
+# ---------------------------------------------------------------------------
+def test_unaligned_eos_advance_invariants(setup):
+    model, variables, enc, enc_len = setup
+    spec, out = run(setup, eos_advance=True)
+    n = int(out["num_tokens"])
+    assert 1 < n <= spec.max_tokens
+    chunks = np.asarray(out["align_chunk"][: n - 1])
+    assert (np.diff(chunks) >= 0).all()
+    assert chunks.max() <= max(int(enc_len) - spec.chunk_size, 0)
+
+
+def test_unaligned_eos_advance_walks_windows(setup):
+    """Force every emitted token to EOS via a strong LM prior: each step must
+    fire the eos_advance event (window forward >= skip_amt) and the decode
+    must terminate at the last window instead of waiting out stall_patience
+    or the repetition detector."""
+    model, variables, enc, enc_len = setup
+    lm = _ConstLM(TINY.vocab_size, EOS)
+    spec, out = run(setup, eos_advance=True, lm_weight=100.0,
+                    text_vocab_size=TINY.vocab_size, lm=lm, lm_variables={})
+    n = int(out["num_tokens"])
+    toks = np.asarray(out["tokens"][0, :n])
+    assert (toks == EOS).all()
+    chunks = np.asarray(out["align_chunk"][: n - 1])
+    last_start = max(int(enc_len) - spec.chunk_size, 0)
+    skip_amt = int(spec.chunk_size * spec.skip_prct)
+    # every step fires the event: the window strictly advances (by at least
+    # skip_amt until the final clamp) and reaches the last window
+    if len(chunks) > 1:
+        assert (np.diff(chunks) >= 1).all()
+        assert (np.diff(chunks)[:-1] >= min(skip_amt, 1)).all()
+    assert chunks[-1] == last_start
+    # termination came from eos-at-end, well inside the iteration budget
+    assert int(out["iters"]) < spec.max_iters
+
+
+def test_unaligned_stall_rollback_invariants(setup):
+    """stall_rollback trims the unanchored tail on stall resets; the output
+    must still satisfy every state-machine invariant and terminate."""
+    model, variables, enc, enc_len = setup
+    spec, out = run(setup, stall_rollback=True, stall_patience=4)
+    n = int(out["num_tokens"])
+    assert 1 < n <= spec.max_tokens
+    toks = np.asarray(out["tokens"][0, :n])
+    assert toks[0] == EOS
+    assert (toks >= 0).all() and (toks < TINY.vocab_size + TINY.num_speakers).all()
+    chunks = np.asarray(out["align_chunk"][: n - 1])
+    assert (np.diff(chunks) >= 0).all()
+
+
+# ---------------------------------------------------------------------------
 # LM shallow fusion (system.py:368-384)
 # ---------------------------------------------------------------------------
 def _tiny_lm():
