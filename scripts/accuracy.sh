@@ -181,7 +181,7 @@ python -m tal_asrd_tpu.cli.wder --eval-file "$DIR/wder_ready.pkl" --workers 1 \
 # these into its JSON line (standing WER/WDER regression, VERDICT r1 #1).
 # Both pickles must exist AND be newer than the evaluated checkpoint, so a
 # partial rerun can never mix metrics from different checkpoints.
-python - "$DIR" <<'PY'
+TEST_FLAGS="$TEST_FLAGS" python - "$DIR" <<'PY'
 import glob, json, os, pickle, subprocess, sys, time
 d = sys.argv[1]
 ckpt = f"{d}/avg_last_3.msgpack"
@@ -217,6 +217,7 @@ json.dump(
      "corpus": corpus,
      "checkpoint": os.path.basename(ckpt),
      "checkpoint_mtime": iso(os.path.getmtime(ckpt)),
+     "test_flags": os.environ.get("TEST_FLAGS", ""),
      "measured_at": iso(time.time())},
     open(f"{d}/metrics.json", "w"))
 print(f"accuracy metrics -> {d}/metrics.json")
