@@ -168,9 +168,17 @@ def main():
     # BENCH_FUSED_W8=1: int8 decoder weights in the fused step (halves the
     # next-largest HBM stream after kv8); same accept gate.
     fused_w8 = os.environ.get("BENCH_FUSED_W8", "0") == "1"
+    # BENCH_FUSED_STACKED=1: all 4 layers in ONE pallas_call per token
+    # (grid=(batch_block, layer); ops/pallas_decode_stacked.py) — Mosaic
+    # double-buffers the next layer's weight DMA behind the current layer's
+    # compute and the hidden never leaves VMEM between layers. The stacked
+    # VMEM plan only fits with int8 weights, so stacked forces w8 (and uses
+    # the same greedy-token accept gate as every fused variant).
+    fused_stacked = os.environ.get("BENCH_FUSED_STACKED", "0") == "1"
+    fused_w8 = fused_w8 or fused_stacked
     dec_model = (FusedASRDecoder(model, block_b=fused_block,
                                  interpret=fused_interp, kv8=fused_kv8,
-                                 w8=fused_w8)
+                                 w8=fused_w8, stacked=fused_stacked)
                  if use_fused else model)
 
     rng = jax.random.PRNGKey(0)
@@ -267,6 +275,7 @@ def main():
         extras["fused_logit_rel_maxdiff"] = round(rel, 4)
         extras["fused_kv8"] = fused_kv8
         extras["fused_w8"] = fused_w8
+        extras["fused_stacked"] = fused_stacked
         extras["fused_greedy_token_match"] = match
 
     def make_decode(k, decoder=None):
@@ -299,7 +308,7 @@ def main():
             "compile_secs": round(time.perf_counter() - t0, 1),
             "batch": batch, "fused": int(use_fused),
             "fused_block": fused_block, "kv8": int(fused_kv8),
-            "w8": int(fused_w8)}))
+            "w8": int(fused_w8), "stacked": int(fused_stacked)}))
         return
     per_batch = _timed(lambda: decode1(variables, audio, audio_lens),
                        lambda o: o["tokens"], iters)
