@@ -62,6 +62,13 @@ def get_argparser(is_train: bool = False) -> argparse.ArgumentParser:
                    help="EXTENSION: emitted EOS advances the window to the "
                         "attention centroid and re-primes history (see "
                         "decode/unaligned.py UnalignedSpec.eos_advance)")
+    p.add_argument("--vad-windows", action="store_true", default=False,
+                   help="long-form decode via VAD-gated windows (the "
+                        "reference's transcribe.py:113-121 path) instead of "
+                        "the sliding-window state machine")
+    p.add_argument("--vad-max-window", type=float, default=20.0,
+                   help="max VAD decode-window seconds before the quietest-"
+                        "frame split (vad/windows.py)")
     p.add_argument("--stall-rollback", action="store_true", default=False,
                    help="EXTENSION: stall resets also roll back the "
                         "unanchored tokens emitted since last progress")

@@ -96,6 +96,15 @@ def main(argv=None):
             )
             groups.setdefault(len(wav), []).append((wav, utts))
         for wav_len, items in groups.items():
+            if args.vad_windows:
+                # VAD-gated windowed decode (transcribe.py:113-121 path):
+                # windows batch internally, episodes run sequentially
+                for wav, utts in items:
+                    info = runner.test_step_unaligned_vad(
+                        wav, wav_len, utts,
+                        max_window_s=args.vad_max_window)
+                    print("vad-windows:", info)
+                continue
             for j in range(0, len(items), lanes):
                 part = items[j : j + lanes]
                 if len(part) == 1 or lanes == 1:

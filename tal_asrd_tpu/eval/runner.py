@@ -276,6 +276,96 @@ class EvalRunner:
             infos.append(self._finish_unaligned(gen, attn, chunks, ref_utts))
         return infos
 
+    def test_step_unaligned_vad(self, audio: np.ndarray, audio_len: int,
+                                ref_utts: List[dict],
+                                max_window_s: float = 20.0,
+                                vad_cfg=None, batch_lanes: int = 16):
+        """Long-form decode via VAD-gated windows (the reference's OTHER
+        long-form path: transcribe.py:113-121,266-310 — VAD pre-gating +
+        windowed decode — rather than the sliding-window state machine of
+        system.py:254-524).
+
+        Each speech region becomes an independent decode window through the
+        jitted aligned beam search (window-initial utterances are the
+        model's best distribution: CE ~2.0 vs ~3.8 on continuations,
+        scripts/diag_ce_by_utt.py). Windows are bucketed to the collater's
+        fixed audio lengths and decoded in fixed-size batches so XLA
+        compiles O(buckets) programs, not O(windows)."""
+        from tal_asrd_tpu.data.collate import pick_bucket
+        from tal_asrd_tpu.vad.windows import vad_decode_windows
+
+        sr = 16000
+        wav = np.asarray(audio[:audio_len], np.float32)
+        windows = vad_decode_windows(wav, sr, vad_cfg=vad_cfg,
+                                     max_window_s=max_window_s)
+        buckets = [int(s * sr) for s in (5, 10, 20, 30)]
+        eos = self.tokenizer.eos_token_id
+
+        # windows grouped by bucket, decoded in fixed [batch_lanes, bucket]
+        # batches (zero-padded rows carry audio_lens=1 and are dropped)
+        by_bucket: Dict[int, List[int]] = {}
+        for w_ix, (s, e) in enumerate(windows):
+            by_bucket.setdefault(pick_bucket(e - s, buckets), []).append(w_ix)
+
+        results: Dict[int, List[int]] = {}
+        for bucket, ixs in sorted(by_bucket.items()):
+            max_new = max(32, int(bucket / sr * 6))
+            for g in range(0, len(ixs), batch_lanes):
+                part = ixs[g : g + batch_lanes]
+                batch_audio = np.zeros((batch_lanes, bucket), np.float32)
+                lens = np.ones((batch_lanes,), np.int32)
+                for row, w_ix in enumerate(part):
+                    s, e = windows[w_ix]
+                    n = min(e - s, bucket)
+                    batch_audio[row, :n] = wav[s : s + n]
+                    lens[row] = n
+                run = self._generate_fn(batch_audio.shape, max_new)
+                prime = jnp.full((batch_lanes, 1), eos, jnp.int32)
+                out = run(self.variables, jnp.asarray(batch_audio),
+                          jnp.asarray(lens), prime)
+                tokens = np.asarray(out["tokens"])
+                lengths = np.asarray(out["lengths"])
+                found = np.asarray(out["found"])
+                for row, w_ix in enumerate(part):
+                    if found[row] and lengths[row] > 1:
+                        results[w_ix] = list(tokens[row, : lengths[row] - 1])
+                    else:
+                        # no EOS inside max_new: keep the tokens anyway
+                        # (transcribe.py keeps truncated windows too)
+                        results[w_ix] = list(tokens[row, : lengths[row]])
+
+        # stitch in window order; attach the window's encoder-frame offset as
+        # chunkStart so the embedding WDER variant can still window SD
+        # features (uniform attention over the window stands in for the
+        # state machine's per-token attention rows)
+        entries = []
+        n_tok_total = 2
+        for w_ix, (s, _e) in enumerate(windows):
+            hyp = results.get(w_ix, [])
+            if not hyp:
+                continue
+            utts, splits = self.tokenizer.decode_speakers(hyp)
+            # encoder-frame index of the window start: 10 ms logmel hop x
+            # the TDS time reduction (same scale as align_chunk in the
+            # sliding-window machine)
+            chunk0 = s // (sr // 100 * self.model.cfg.time_reduction)
+            last = 0
+            for (text, sid), split_i in zip(utts, splits):
+                u_tok = hyp[last : split_i + 1]
+                entries.append({
+                    "utterance": text,
+                    "speakerId": sid,
+                    "utteranceTokens": u_tok,
+                    "attention": np.full((len(u_tok), 1), 1.0, np.float32),
+                    "chunkStart": np.full((len(u_tok),), chunk0, np.int64),
+                })
+                last = split_i
+            n_tok_total += len(hyp)
+        self._append_outputs([ref_utts], [entries])
+        self._losses.append(0.0)
+        return {"num_tokens": n_tok_total, "num_utterances": len(entries),
+                "num_windows": len(windows)}
+
     # ------------------------------------------------------------------
     def _append_outputs(self, ref_dec, hyp_dec):
         self.test_outputs += list(zip(ref_dec, hyp_dec))
