@@ -67,16 +67,27 @@ def merge(acc_dir: str = "accuracy") -> dict:
                   f"tagged corpus={cand.get('corpus')!r} vs live {corpus!r})",
                   file=sys.stderr)
 
-    def sidecar(name: str, key: str, newer_than=None):
+    def sidecar(name: str, key: str, newer_than=None, corpus_tagged=False):
         p = os.path.join(acc_dir, name)
         if not os.path.exists(p):
             return
         mtime = os.path.getmtime(p)
-        if newer_than is not None and mtime < newer_than:
+        data = json.load(open(p))
+        # Corpus-dependent sidecars may embed the tag of the (seeded,
+        # deterministic) corpus they were measured on; a post-reboot
+        # regeneration bumps the marker mtime without changing content, so
+        # the tag comparison is the true staleness test when available.
+        if corpus_tagged and "_corpus" in data:
+            if corpus is not None and data["_corpus"] != corpus:
+                print(f"merge_metrics: skipping stale sidecar {name} "
+                      f"(corpus {data['_corpus']!r} vs live {corpus!r})",
+                      file=sys.stderr)
+                return
+        elif newer_than is not None and mtime < newer_than:
             print(f"merge_metrics: skipping stale sidecar {name} "
                   f"(older than its dependency)", file=sys.stderr)
             return
-        base.update(json.load(open(p)))
+        base.update({k: v for k, v in data.items() if not k.startswith("_")})
         provenance[key] = {"source": name, "measured_at": _iso(mtime)}
 
     # checkpoint-dependent: clustering WDER of the speaker-embedding chain
@@ -84,7 +95,8 @@ def merge(acc_dir: str = "accuracy") -> dict:
             newer_than=os.path.getmtime(avg_ckpt)
             if os.path.exists(avg_ckpt) else float("inf"))
     # corpus-dependent: UIS-RNN DER over features of the current corpus
-    sidecar("uisrnn_metrics.json", "uisrnn", newer_than=corpus_mtime)
+    sidecar("uisrnn_metrics.json", "uisrnn", newer_than=corpus_mtime,
+            corpus_tagged=True)
     # own-corpus sidecars
     sidecar("vad_metrics.json", "vad")
     sidecar("sad_metrics.json", "sad")

@@ -34,6 +34,24 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
+# Standing sidecar metrics (see scripts/merge_metrics.py). These are the
+# *evidence* for published numbers — losing them to a reboot evicts real
+# measurements from ACCURACY.json (this happened to the embed/uisrnn/vad/sad
+# groups in r5). They are tiny JSON files; persist them next to the weights.
+SIDECARS = (
+    "embed_metrics.json",      # checkpoint-dependent (clustering WDER)
+    "uisrnn_metrics.json",     # corpus-dependent (diarization DER)
+    "vad_metrics.json",        # own-corpus
+    "sad_metrics.json",        # own-corpus
+    "sad_stress_metrics.json",  # own-corpus
+)
+
+
+def _corpus_tag(acc_dir: str):
+    import glob
+    markers = sorted(glob.glob(os.path.join(acc_dir, "train", ".corpus_v*")))
+    return os.path.basename(markers[-1])[len(".corpus_"):] if markers else None
+
 
 def _bf16_cast(tree):
     import jax
@@ -66,6 +84,27 @@ def persist(acc_dir: str, rel_dir: str) -> int:
         if os.path.exists(p):
             shutil.copy(p, os.path.join(rel_dir, name))
 
+    # Persist sidecar metric evidence with original mtimes (merge_metrics
+    # derives measured_at and staleness from them). Corpus-dependent sidecars
+    # get a `_corpus` tag so a post-reboot regeneration of the (seeded,
+    # deterministic) corpus doesn't read as a content change.
+    side_dir = os.path.join(rel_dir, "sidecars")
+    os.makedirs(side_dir, exist_ok=True)
+    corpus = _corpus_tag(acc_dir)
+    for name in SIDECARS:
+        p = os.path.join(acc_dir, name)
+        if not os.path.exists(p):
+            continue
+        dst = os.path.join(side_dir, name)
+        if name == "uisrnn_metrics.json" and corpus:
+            data = json.load(open(p))
+            data.setdefault("_corpus", corpus)
+            with open(dst, "w") as f:
+                json.dump(data, f, indent=1)
+            os.utime(dst, (os.path.getmtime(p),) * 2)
+        else:
+            shutil.copy2(p, dst)
+
     commit = subprocess.run(
         ["git", "-C", ROOT, "rev-parse", "--short", "HEAD"],
         capture_output=True, text=True).stdout.strip()
@@ -92,12 +131,28 @@ def restore(acc_dir: str, rel_dir: str) -> int:
     dst = os.path.join(acc_dir, "avg_last_3.msgpack")
     if not os.path.exists(dst):
         shutil.copy(src, dst)
+        # The restored file IS the persisted checkpoint; give it that
+        # checkpoint's timestamp so mtime-based staleness rules downstream
+        # (merge_metrics, accuracy.sh freshness guards) see its true identity
+        # rather than the restore time.
+        try:
+            meta = json.load(open(os.path.join(rel_dir, "latest.json")))
+            os.utime(dst, (meta["source_mtime_epoch"],) * 2)
+        except Exception:
+            pass
         restored.append(dst)
     for name in ("bpe.model", "metrics.json"):
         s = os.path.join(rel_dir, name)
         d = os.path.join(acc_dir, name)
         if os.path.exists(s) and not os.path.exists(d):
             shutil.copy(s, d)
+            restored.append(d)
+    side_dir = os.path.join(rel_dir, "sidecars")
+    for name in SIDECARS:
+        s = os.path.join(side_dir, name)
+        d = os.path.join(acc_dir, name)
+        if os.path.exists(s) and not os.path.exists(d):
+            shutil.copy2(s, d)  # copy2: keep the original measured_at mtime
             restored.append(d)
     print("restored: " + (", ".join(restored) if restored
                           else "nothing (all present)"))

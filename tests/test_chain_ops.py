@@ -143,6 +143,81 @@ class TestMergeMetrics:
         out = merge_metrics.merge(str(acc))
         assert out["embed_wder_pct"] == 9.9
 
+    def test_corpus_tagged_uisrnn_survives_marker_regeneration(self, tmp_path):
+        """A post-reboot regeneration of the seeded corpus bumps the marker
+        mtime without changing content; a `_corpus`-tagged sidecar must
+        survive on tag equality (and the tag itself must not be published)."""
+        import merge_metrics
+
+        acc = tmp_path / "accuracy"
+        self._corpus(acc)  # marker mtime == now
+        json.dump({"uisrnn_der_pct": 30.6, "_corpus": "v2"},
+                  open(acc / "uisrnn_metrics.json", "w"))
+        old = os.path.getmtime(acc / "train" / ".corpus_v2") - 100
+        os.utime(acc / "uisrnn_metrics.json", (old, old))  # older than marker
+        out = merge_metrics.merge(str(acc))
+        assert out["uisrnn_der_pct"] == 30.6
+        assert "_corpus" not in out
+
+    def test_corpus_tagged_uisrnn_evicted_on_tag_mismatch(self, tmp_path):
+        import merge_metrics
+
+        acc = tmp_path / "accuracy"
+        self._corpus(acc, ".corpus_v3")
+        json.dump({"uisrnn_der_pct": 30.6, "_corpus": "v2"},
+                  open(acc / "uisrnn_metrics.json", "w"))
+        new = os.path.getmtime(acc / "train" / ".corpus_v3") + 100
+        os.utime(acc / "uisrnn_metrics.json", (new, new))  # fresh by mtime
+        out = merge_metrics.merge(str(acc))
+        assert "uisrnn_der_pct" not in out  # tag comparison wins
+
+
+class TestPersistSidecars:
+    """Sidecar metric evidence must survive a reboot with the weights
+    (VERDICT r4 #2 follow-through: r5 lost embed/uisrnn/vad/sad numbers when
+    the gitignored tree was wiped, even though the checkpoint was durable)."""
+
+    def test_sidecar_restore_roundtrip_preserves_mtime(self, tmp_path):
+        import persist_ckpt
+
+        rel = tmp_path / "release"
+        (rel / "sidecars").mkdir(parents=True)
+        (rel / "avg_last_3.bf16.msgpack").write_bytes(b"ckpt")
+        json.dump({"source_mtime_epoch": 1787123506},
+                  open(rel / "latest.json", "w"))
+        side = rel / "sidecars" / "embed_metrics.json"
+        json.dump({"cluster_wder_pct": 1.5}, open(side, "w"))
+        os.utime(side, (1787130370,) * 2)
+
+        acc = tmp_path / "accuracy"
+        assert persist_ckpt.restore(str(acc), str(rel)) == 0
+        # checkpoint restored with its true identity timestamp
+        assert int(os.path.getmtime(acc / "avg_last_3.msgpack")) == 1787123506
+        # sidecar restored with its original measured_at mtime
+        restored = acc / "embed_metrics.json"
+        assert json.load(open(restored))["cluster_wder_pct"] == 1.5
+        assert int(os.path.getmtime(restored)) == 1787130370
+
+    def test_restore_never_clobbers_live_files(self, tmp_path):
+        import persist_ckpt
+
+        rel = tmp_path / "release"
+        (rel / "sidecars").mkdir(parents=True)
+        (rel / "avg_last_3.bf16.msgpack").write_bytes(b"old")
+        json.dump({"source_mtime_epoch": 1},
+                  open(rel / "latest.json", "w"))
+        json.dump({"cluster_wder_pct": 9.9},
+                  open(rel / "sidecars" / "embed_metrics.json", "w"))
+        acc = tmp_path / "accuracy"
+        acc.mkdir()
+        (acc / "avg_last_3.msgpack").write_bytes(b"live")
+        json.dump({"cluster_wder_pct": 0.5},
+                  open(acc / "embed_metrics.json", "w"))
+        assert persist_ckpt.restore(str(acc), str(rel)) == 0
+        assert (acc / "avg_last_3.msgpack").read_bytes() == b"live"
+        assert json.load(
+            open(acc / "embed_metrics.json"))["cluster_wder_pct"] == 0.5
+
 
 class TestSincWindow:
     def test_half_hamming_rises_to_center(self):
