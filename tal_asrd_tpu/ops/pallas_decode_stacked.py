@@ -299,6 +299,14 @@ def stacked_decoder_step(
         out_shape=out_shape,
         input_output_aliases={15: 2, 16: 3},
         interpret=interpret,
+        # Same cap as the per-layer kernel (pallas_decode.py): the resident
+        # working set exceeds Mosaic's 16 MB scoped-VMEM DEFAULT once the
+        # pipeliner double-buffers the full-shape blocks — on the remote AOT
+        # backend that overflow surfaced as a compile-helper subprocess crash
+        # (silicon bisect 2026-08-20: S=357/cap=104 fails from ~12 grid
+        # steps, tiny shapes always pass). v5e has 128 MB physical VMEM.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(
         jnp.asarray(index, jnp.int32).reshape(1),
         x,
